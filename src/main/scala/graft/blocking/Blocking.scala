@@ -1,0 +1,138 @@
+package graft.blocking
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.minhash_sig
+
+/**
+ * Multi-pass blocking: the candidate-generation layer of the record-linkage
+ * pipeline. The reference declares this away inside AWS Entity Resolution's
+ * ML_MATCHING (reference: lib/entity-resolution-service.ts:142-183); here it
+ * is explicit, typed, and skew-aware.
+ *
+ * Passes (north rule):
+ *   1. normalized-domain key — catches same-site mirrors cheaply;
+ *   2. MinHash-LSH bands over text shingles — content-based, catches matches
+ *      whose domains are unrelated;
+ *   3. sorted-neighborhood over url tokens — order-based, catches near-equal
+ *      slugs.
+ *
+ * Skew handling: hot blocking keys (Zipf domain head) would make pair
+ * generation quadratic. Oversized blocks are re-keyed hierarchically —
+ * `domain` → `domain|title-prefix` — which preserves true pairs (titles of
+ * matching pages agree) while bounding block size. Residual oversized blocks
+ * are dropped WITH a logged metric (never silently). AQE skew-join splitting
+ * stays on as a backstop for the join shuffles.
+ *
+ * Determinism: every key is a pure function of row content (never of
+ * partitioning), so the candidate set — and therefore the final clusters —
+ * is identical at any parallelism level (local[8] ≡ local[32]).
+ */
+object Blocking {
+
+  case class Config(
+      minhashHashes: Int = 16,
+      minhashBandSize: Int = 2, // rows per band → hashes/bandSize bands
+      shingleSize: Int = 2,
+      maxBlock: Int = 256, // max records per key before hierarchical re-key
+      titlePrefixLen: Int = 12,
+      snWindow: Int = 4, // sorted-neighborhood window
+      snBucketLen: Int = 3) // sort-key prefix length defining SN buckets
+
+  /** Registered-domain key: strip scheme, mobile/amp/www prefixes, TLD. */
+  def domainKey(url: Column): Column = {
+    val host = regexp_extract(url, "^[a-z]+://([^/]+)", 1)
+    val noSub = regexp_replace(host, "^(www|m|amp|mobile|web)\\.", "")
+    regexp_replace(noSub, "\\.[a-z]+$", "")
+  }
+
+  /** Pass 1+2 keys per record (domain + LSH bands), before re-keying. */
+  private def rawKeys(records: DataFrame, cfg: Config): DataFrame = {
+    val bands = cfg.minhashHashes / cfg.minhashBandSize
+    val sig = minhash_sig(col("text_norm"), cfg.shingleSize, cfg.minhashHashes)
+    val bandKeys = (0 until bands).map { b =>
+      concat(lit(s"l$b:"),
+        xxhash64(slice(col("sig"), b * cfg.minhashBandSize + 1, cfg.minhashBandSize)))
+    }
+    val domain = records.select(col("url"), col("source"),
+      concat(lit("d:"), col("domain_key")).as("block_key"),
+      col("title_norm"))
+    val lsh = records.withColumn("sig", sig)
+      .select(col("url"), col("source"),
+        explode(array(bandKeys: _*)).as("block_key"), col("title_norm"))
+    domain.unionByName(lsh)
+  }
+
+  /**
+   * (url, source, block_key) after hierarchical re-keying of oversized
+   * blocks, plus a one-row stats frame for the metrics/lineage table.
+   */
+  def blockKeys(records: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val raw = rawKeys(records, cfg)
+    // Block sizes: cheap partial-aggregated count vs the quadratic cost a
+    // hot block would cause downstream. The oversized-key list is tiny
+    // (Zipf head), so it broadcasts — no extra shuffle of the key stream.
+    val oversized = raw.groupBy("block_key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > cfg.maxBlock)
+    val keyed = raw.join(broadcast(oversized), Seq("block_key"), "left")
+      .withColumn("block_key",
+        when(col("n").isNull, col("block_key"))
+          .otherwise(concat(col("block_key"), lit("|t:"),
+            substring(col("title_norm"), 1, cfg.titlePrefixLen))))
+      .select("url", "source", "block_key")
+    val sizes2 = keyed.groupBy("block_key").agg(count(lit(1)).as("n"))
+    val stillHot = sizes2.filter(col("n") > cfg.maxBlock * 4L)
+    val kept = keyed.join(broadcast(stillHot), Seq("block_key"), "left_anti")
+    val stats = sizes2.agg(
+      count(lit(1)).as("n_blocks"),
+      coalesce(sum("n"), lit(0L)).as("n_block_rows"),
+      coalesce(max("n"), lit(0L)).as("max_block"),
+      coalesce(sum(when(col("n") > cfg.maxBlock * 4L, col("n"))
+        .otherwise(lit(0L))), lit(0L)).as("dropped_rows"))
+    (kept, stats)
+  }
+
+  /** Cross-source candidate pairs from shared blocking keys. */
+  def candidatePairs(keys: DataFrame): DataFrame = {
+    val a = keys.filter(col("source") === "main").select(col("block_key"), col("url").as("main_url"))
+    val b = keys.filter(col("source") === "sub").select(col("block_key"), col("url").as("sub_url"))
+    a.join(b, "block_key").select("main_url", "sub_url").distinct()
+  }
+
+  /**
+   * Pass 3 — sorted-neighborhood over url tokens, emitted directly as
+   * cross-source pairs. Deterministic scale-out: records are bucketed by a
+   * content-defined prefix of `sort_key` (never by sampled range bounds, so
+   * the pair set is independent of input partitioning), each bucket is
+   * sorted, and every record pairs with its `snWindow` in-bucket
+   * predecessors. Work per bucket is LINEAR (w·|bucket|), so even a hot
+   * bucket cannot go quadratic. Cross-bucket neighbors are intentionally
+   * not paired: records that match share an identical sort key (same slug
+   * tokens) and always land in the same bucket.
+   */
+  def sortedNeighborhoodPairs(records: DataFrame, cfg: Config = Config()): DataFrame = {
+    import records.sparkSession.implicits._
+    val prepared = records
+      .select(substring(col("sort_key"), 1, cfg.snBucketLen).as("bucket"),
+        col("sort_key"), col("url"), col("source"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "sort_key", "url")
+      .as[(String, String, String, String)]
+    val w = cfg.snWindow
+    prepared.mapPartitions { it =>
+      var bucket: String = null
+      val buf = scala.collection.mutable.Queue.empty[(String, String)] // (url, source)
+      it.flatMap { case (b, _, url, source) =>
+        if (b != bucket) { bucket = b; buf.clear() }
+        val pairs = buf.iterator.collect {
+          case (u, s) if s != source =>
+            if (s == "main") (u, url) else (url, u) // (main_url, sub_url)
+        }.toVector
+        buf.enqueue((url, source))
+        if (buf.size > w) buf.dequeue()
+        pairs
+      }
+    }.toDF("main_url", "sub_url").distinct()
+  }
+}

@@ -1,0 +1,97 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Transitive clustering of match edges into entity clusters — the step that
+ * produces the reference's `MatchID` contract ("same person across both
+ * brands ⇒ same value", reference: lib/data-storage.ts:206-211) — via the
+ * alternating large-star / small-star connected-components algorithm
+ * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+ *
+ * Implementation notes (scale-first):
+ *   - Nodes are ids of any ordered type (we use url strings; at 10^12-doc
+ *     scale a dictionary-encoded long id layer drops in without changing
+ *     this code — min/least work identically).
+ *   - Neither star step materializes neighbor lists: each is a partial-
+ *     aggregated `groupBy.min` plus one equi-join — no collect_set, so a
+ *     celebrity node (huge star) costs O(|N|) rows, never O(|N|^2) memory.
+ *   - Every iteration ends in `localCheckpoint` to cut the lineage chain
+ *     (Catalyst does not optimize across iterations) and optionally writes
+ *     a durable per-iteration snapshot + per-partition match-count metrics
+ *     through [[CheckpointStore]] for exact resume.
+ *   - Convergence test = (count, xor-ish hash aggregate) pair — one cheap
+ *     action per iteration, no expensive except/subtract.
+ */
+object ConnectedComponents {
+
+  /** Large-star: for every node u, connect its LARGER neighbors to
+    * m = min(N(u) ∪ {u}). Keeps components intact, shrinks tall trees. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("u"), least(col("mn"), col("u")).as("m"))
+    sym.filter(col("dst") > col("src"))
+      .join(mins, col("src") === col("u"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: edges oriented high→low; connect every low neighbor (and u)
+    * to the minimum low neighbor. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+      greatest(col("src"), col("dst")).as("hi"),
+      least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+    val mins = dir.groupBy("hi").agg(min("lo").as("m"))
+    val lows = dir.join(mins, "hi")
+      .filter(col("lo") =!= col("m"))
+      .select(col("lo").as("src"), col("m").as("dst"))
+    val his = mins.select(col("hi").as("src"), col("m").as("dst"))
+    lows.union(his).distinct()
+  }
+
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val row = edges.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /**
+   * @param edges    match edges (src, dst) — any extra columns are dropped
+   * @param store    optional durable checkpoint (resume + lineage metrics)
+   * @param startIter iteration to resume from (use with store.loadLatest)
+   * @return (node, component) — component = min node id of the cluster;
+   *         only non-root nodes are listed (root maps to itself implicitly)
+   */
+  def run(edges: DataFrame, store: Option[CheckpointStore] = None,
+          maxIter: Int = 64, startIter: Int = 0): DataFrame = {
+    var cur = edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var sig = signature(cur)
+    var it = startIter
+    var converged = false
+    while (!converged && it < maxIter) {
+      val t0 = System.nanoTime()
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      it += 1
+      store.foreach(_.writeIteration(it, next, nextSig._1, (System.nanoTime() - t0) / 1e6))
+      converged = nextSig == sig
+      cur = next
+      sig = nextSig
+    }
+    // normalize: every node that appears anywhere → min component label
+    cur.select(col("src").as("node"), col("dst").as("component"))
+      .union(cur.select(col("dst").as("node"), col("dst").as("component")))
+      .groupBy("node").agg(min("component").as("component"))
+  }
+}

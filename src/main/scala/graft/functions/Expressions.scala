@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Catalyst expressions for the scoring/blocking layer — the Spark-first
+ * re-creation of what the reference hides inside AWS Entity Resolution's
+ * ML matching (reference: lib/entity-resolution-service.ts:142-183).
+ *
+ * All are codegen-friendly: `doGenCode` emits a direct static call into
+ * [[Sim]] / [[HtmlText]], so they inline into whole-stage codegen (no Scala
+ * UDF wrapping/boxing, no RDDs).
+ */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jaro_winkler"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sim.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sim.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class TokenJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sim.tokenJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sim.tokenJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class MinHashSigExpr(child: Expression, shingle: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(v: Any): Any =
+    Sim.minHashSig(v.asInstanceOf[UTF8String], shingle, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sim.minHashSig($c, $shingle, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SimHashExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(v: Any): Any =
+    Sim.simHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sim.simHash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class HtmlToTextExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "html_to_text"
+  override protected def nullSafeEval(v: Any): Any =
+    HtmlText.extract(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlText.extract($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API entry points (`import graft.functions.GraftFunctions._`). */
+object GraftFunctions {
+  private def col(e: Expression): Column = Shim.column(e)
+  private def expr(c: Column): Expression = Shim.expression(c)
+
+  def jaro_winkler(a: Column, b: Column): Column = col(JaroWinklerExpr(expr(a), expr(b)))
+  def token_jaccard(a: Column, b: Column): Column = col(TokenJaccardExpr(expr(a), expr(b)))
+  def minhash_sig(c: Column, shingle: Int, numHashes: Int): Column =
+    col(MinHashSigExpr(expr(c), shingle, numHashes))
+  def simhash64(c: Column): Column = col(SimHashExpr(expr(c)))
+  def html_to_text(c: Column): Column = col(HtmlToTextExpr(expr(c)))
+
+  /** Register all as SQL temp functions so `spark.sql` text can use them. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("jaro_winkler", es => JaroWinklerExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("token_jaccard", es => TokenJaccardExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHashExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("html_to_text", es => HtmlToTextExpr(es.head), "built-in")
+  }
+}

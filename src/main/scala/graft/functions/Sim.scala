@@ -1,0 +1,230 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Deterministic string-similarity / hashing kernels used by the codegen'd
+ * Catalyst expressions in [[Expressions]]. Everything here is a pure static
+ * function (Scala objects emit static forwarders, so generated Java code can
+ * call `graft.functions.Sim.jaroWinkler(a, b)` directly inside
+ * whole-stage codegen).
+ *
+ * These re-create, from scratch, the scoring layer that the reference sample
+ * (`aws-samples/sample-c360-text2sql-segmentation-entityresolution`) hides
+ * inside AWS Entity Resolution `ML_MATCHING`
+ * (reference: lib/entity-resolution-service.ts:142-183, output contract
+ * `ConfidenceLevel` at lib/data-storage.ts:166-169).
+ *
+ * All hashing is locale-free and seed-stable: identical results on any JVM,
+ * any thread count, any partitioning — required for the byte-identical /
+ * parallelism-independent guarantees of the pipeline.
+ */
+object Sim {
+
+  // ---------------------------------------------------------------- hashing
+
+  /** splitmix64 finalizer — the mixing core of all hashes here. */
+  @inline def mix64(zIn: Long): Long = {
+    var z = zIn + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic 64-bit hash of a char range (polynomial + splitmix mix). */
+  def hashChars(s: CharSequence, from: Int, until: Int, seed: Long): Long = {
+    var h = seed ^ 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h = (h ^ s.charAt(i).toLong) * 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  def hashString(s: String, seed: Long): Long = hashChars(s, 0, s.length, seed)
+
+  // ------------------------------------------------------------ Jaro-Winkler
+
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
+    jaroWinkler(a.toString, b.toString)
+
+  /** Standard Jaro-Winkler similarity (prefix scale 0.1, max prefix 4). */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val j = jaro(s1, s2)
+    if (j <= 0.7) return j // standard boost threshold
+    var l = 0
+    val maxPrefix = math.min(4, math.min(s1.length, s2.length))
+    while (l < maxPrefix && s1.charAt(l) == s2.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  def jaro(s1: String, s2: String): Double = {
+    val n1 = s1.length
+    val n2 = s2.length
+    if (n1 == 0 && n2 == 0) return 1.0
+    if (n1 == 0 || n2 == 0) return 0.0
+    val window = math.max(0, math.max(n1, n2) / 2 - 1)
+    val m1 = new Array[Boolean](n1)
+    val m2 = new Array[Boolean](n2)
+    var matches = 0
+    var i = 0
+    while (i < n1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(n2 - 1, i + window)
+      var k = lo
+      var found = false
+      while (k <= hi && !found) {
+        if (!m2(k) && s1.charAt(i) == s2.charAt(k)) {
+          m1(i) = true; m2(k) = true; matches += 1; found = true
+        }
+        k += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < n1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / n1 + m / n2 + (m - t / 2) / m) / 3.0
+  }
+
+  // ------------------------------------------------------------ token sets
+
+  /** Hash each whitespace-separated token; returns sorted distinct hashes. */
+  def tokenHashes(s: String): Array[Long] = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) set.add(hashChars(s, start, i, 0x5eedL))
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  /** Jaccard similarity of the whitespace-token *sets* of two strings. */
+  def tokenJaccard(a: UTF8String, b: UTF8String): Double =
+    tokenJaccard(a.toString, b.toString)
+
+  def tokenJaccard(a: String, b: String): Double = {
+    val ha = tokenHashes(a)
+    val hb = tokenHashes(b)
+    if (ha.length == 0 && hb.length == 0) return 1.0
+    if (ha.length == 0 || hb.length == 0) return 0.0
+    // both sorted: merge-count the intersection
+    var i = 0; var j = 0; var inter = 0
+    while (i < ha.length && j < hb.length) {
+      val c = java.lang.Long.compare(ha(i), hb(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (ha.length + hb.length - inter)
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /**
+   * Word-shingle hashes of `s` (shingle = `size` consecutive tokens,
+   * order-sensitive). Falls back to single-token shingles when the document
+   * is shorter than `size` tokens.
+   */
+  def shingleHashes(s: String, size: Int): Array[Long] = {
+    val toks = new java.util.ArrayList[Long]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) toks.add(hashChars(s, start, i, 0x5eedL))
+    }
+    val t = toks.size
+    val k = math.min(size, math.max(1, t))
+    if (t == 0) return Array.empty
+    val out = new Array[Long](t - k + 1)
+    var p = 0
+    while (p + k <= t) {
+      var h = 0x27d4eb2f165667c5L
+      var q = 0
+      while (q < k) { h = mix64(h ^ toks.get(p + q)); q += 1 }
+      out(p) = h
+      p += 1
+    }
+    out
+  }
+
+  private val SeedGold = 0x9e3779b97f4a7c15L
+
+  /**
+   * MinHash signature: numHashes permutations h_i(x) = mix64(x ^ seed_i),
+   * min over the document's word-shingles. Empty doc => Long.MaxValue row.
+   */
+  def minHashSig(s: UTF8String, shingle: Int, numHashes: Int): GenericArrayData = {
+    val sh = shingleHashes(s.toString, shingle)
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val seed = mix64(SeedGold * (i + 1))
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < sh.length) {
+        val v = mix64(sh(j) ^ seed)
+        if (v < mn) mn = v
+        j += 1
+      }
+      sig(i) = mn
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens (term frequency weighted). */
+  def simHash(s: UTF8String): Long = simHash(s.toString)
+
+  def simHash(s: String): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val h = hashChars(s, start, i, 0x51a4L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.blocking.Blocking
+import graft.cluster.{CheckpointStore, ConnectedComponents}
+import graft.functions.GraftFunctions._
+
+/**
+ * The end-to-end record-linkage pipeline: normalize → multi-pass blocking →
+ * pairwise scoring → threshold → transitive clustering → integrated output.
+ *
+ * This re-creates, Spark-first and from scratch, the entity-resolution stage
+ * the reference delegates to AWS Entity Resolution
+ * (declaration: lib/entity-resolution-service.ts:142-183) and its output
+ * contract, the `integrated_customer` table
+ * (lib/data-storage.ts:155-217): one row per input record carrying
+ *   RecordId          — the per-source record key (here: url),
+ *   InputSourceARN    — which source the row came from (here: main|sub),
+ *   MatchID           — cluster id, same entity ⇒ same value,
+ *   ConfidenceLevel   — calibrated match confidence in [0,1].
+ *
+ * Scale design: all per-record derivations (text extraction, normalization,
+ * minhash signatures) are codegen'd expressions evaluated in the scan stage;
+ * blocking bounds block sizes (skew-aware re-keying); pair scoring touches
+ * only candidate pairs; clustering is O(log n) rounds of partial-aggregated
+ * joins with per-iteration checkpoints.
+ */
+object EntityResolution {
+
+  case class Config(
+      blocking: Blocking.Config = Blocking.Config(),
+      tau: Double = 0.75,
+      wJaroWinkler: Double = 0.35,
+      wTokenJaccard: Double = 0.50,
+      wLevenshtein: Double = 0.15,
+      titleTokens: Int = 8,
+      checkpointDir: Option[String] = None)
+
+  /**
+   * Per-record normalization — the analog of the reference's typed-field
+   * semantic normalization (EMAIL_ADDRESS / NAME / DATE types,
+   * lib/entity-resolution-service.ts:54-138). Text is re-extracted from the
+   * raw html bytes (deterministic, byte-identical per url); all derived
+   * fields are pure functions of row content.
+   */
+  def normalize(pages: DataFrame): DataFrame = {
+    val textEx = html_to_text(col("html"))
+    pages
+      .withColumn("text_ex", textEx)
+      .withColumn("text_norm", lower(col("text_ex")))
+      .withColumn("title_norm",
+        array_join(slice(split(col("text_norm"), " "), 1, 8), " "))
+      .withColumn("domain_key", Blocking.domainKey(col("url")))
+      .withColumn("sort_key",
+        array_join(array_sort(split(
+          regexp_extract(col("url"), "/([^/?]+)/?(\\?.*)?$", 1), "-")), " "))
+  }
+
+  /** Ensemble score ∈ [0,1] for a pair of normalized records. */
+  def scoreExpr(cfg: Config,
+                titleA: Column, textA: Column,
+                titleB: Column, textB: Column): Column = {
+    val jw = jaro_winkler(titleA, titleB)
+    val tj = token_jaccard(textA, textB)
+    val lev = lit(1.0) - levenshtein(titleA, titleB).cast("double") /
+      greatest(length(titleA), length(titleB), lit(1)).cast("double")
+    lit(cfg.wJaroWinkler) * jw + lit(cfg.wTokenJaccard) * tj + lit(cfg.wLevenshtein) * lev
+  }
+
+  /** Score candidate pairs; returns (main_url, sub_url, score). */
+  def scorePairs(pairs: DataFrame, records: DataFrame, cfg: Config): DataFrame = {
+    val a = records.select(col("url").as("main_url"),
+      col("title_norm").as("title_a"), col("text_norm").as("text_a"))
+    val b = records.select(col("url").as("sub_url"),
+      col("title_norm").as("title_b"), col("text_norm").as("text_b"))
+    pairs.join(a, "main_url").join(b, "sub_url")
+      .select(col("main_url"), col("sub_url"),
+        scoreExpr(cfg, col("title_a"), col("text_a"),
+          col("title_b"), col("text_b")).as("score"))
+  }
+
+  case class Result(
+      integrated: DataFrame,
+      scoredPairs: DataFrame,
+      edges: DataFrame,
+      candidatePairs: DataFrame,
+      blockKeys: DataFrame,
+      blockStats: DataFrame)
+
+  /** Full pipeline from raw pages. */
+  def resolve(pages: DataFrame, cfg: Config = Config()): Result = {
+    val spark = pages.sparkSession
+    val records = normalize(pages)
+      .select("url", "source", "warc_ts", "lang", "text_norm", "title_norm",
+        "domain_key", "sort_key")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val (keys, blockStats) = Blocking.blockKeys(records, cfg.blocking)
+    val pairs = Blocking.candidatePairs(keys)
+      .union(Blocking.sortedNeighborhoodPairs(records, cfg.blocking))
+      .distinct()
+
+    val scored = scorePairs(pairs, records, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = scored.filter(col("score") >= cfg.tau)
+
+    val store = cfg.checkpointDir.map { d =>
+      val s = new CheckpointStore(spark, d)
+      // iteration-0 snapshot: the scored match edges themselves, so a resume
+      // never has to re-run blocking/scoring
+      s.writeIteration(0, edges.select(col("main_url").as("src"),
+        col("sub_url").as("dst"), col("score")), -1L, 0.0)
+      s
+    }
+    val components = ConnectedComponents.run(
+      edges.select(col("main_url").as("src"), col("sub_url").as("dst")), store)
+
+    val integrated = buildIntegrated(records, edges, components)
+    Result(integrated, scored, edges, pairs, keys, blockStats)
+  }
+
+  /**
+   * Exact resume from a checkpoint directory: reloads the newest complete
+   * iteration snapshot and continues clustering from there — blocking and
+   * scoring are not re-run. Final clusters are identical to an uninterrupted
+   * run (verified by ResumeSpec).
+   */
+  def resumeFrom(pages: DataFrame, dir: String, cfg: Config = Config()): DataFrame = {
+    val spark = pages.sparkSession
+    val store = new CheckpointStore(spark, dir)
+    val k = store.latestIteration().getOrElse(
+      throw new IllegalStateException(s"no checkpoint under $dir"))
+    val snapshot = store.loadIteration(k)
+    val edges0 = store.loadIteration(0) // scored edges (src, dst, score)
+    val components = ConnectedComponents.run(
+      snapshot.select("src", "dst"), Some(store), startIter = k)
+    val records = normalize(pages)
+      .select("url", "source", "warc_ts", "lang")
+    buildIntegrated(records,
+      edges0.select(col("src").as("main_url"), col("dst").as("sub_url"), col("score")),
+      components)
+  }
+
+  private def buildIntegrated(records: DataFrame, edges: DataFrame,
+                              components: DataFrame): DataFrame = {
+    // per-record confidence: best accepted edge score on either side
+    val conf = edges.select(col("main_url").as("url"), col("score"))
+      .union(edges.select(col("sub_url").as("url"), col("score")))
+      .groupBy("url").agg(max("score").as("best_score"))
+    records.select(col("url"), col("source"), col("warc_ts"), col("lang"))
+      .join(components.withColumnRenamed("node", "url"), Seq("url"), "left")
+      .join(conf, Seq("url"), "left")
+      .select(
+        col("url").as("RecordId"),
+        col("source").as("InputSourceARN"),
+        coalesce(col("component"), col("url")).as("MatchID"),
+        coalesce(col("best_score"), lit(1.0)).as("ConfidenceLevel"),
+        col("warc_ts"), col("lang"))
+  }
+
+  /** Predicted cross-source pairs implied by the integrated table. */
+  def predictedPairs(integrated: DataFrame): DataFrame = {
+    val main = integrated.filter(col("InputSourceARN") === "main")
+      .select(col("MatchID"), col("RecordId").as("main_url"))
+    val sub = integrated.filter(col("InputSourceARN") === "sub")
+      .select(col("MatchID"), col("RecordId").as("sub_url"))
+    main.join(sub, "MatchID").select("main_url", "sub_url")
+  }
+}

@@ -57,9 +57,12 @@ object ConnectedComponents {
   }
 
   private def signature(edges: DataFrame): (Long, Long) = {
+    // modular sum keeps the aggregate ANSI-safe (no long overflow) — a
+    // (count, mod-sum) collision on *consecutive differing* iterations is
+    // vanishingly unlikely, and the algorithm's fixpoint is structural anyway
     val row = edges.agg(
       count(lit(1)).as("n"),
-      coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")).head()
+      coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L))), lit(0L)).as("h")).head()
     (row.getLong(0), row.getLong(1))
   }
 

@@ -96,5 +96,6 @@ object ConnectedComponents {
     cur.select(col("src").as("node"), col("dst").as("component"))
       .union(cur.select(col("dst").as("node"), col("dst").as("component")))
       .groupBy("node").agg(min("component").as("component"))
+      .filter(col("node") =!= col("component")) // roots map to themselves implicitly
   }
 }

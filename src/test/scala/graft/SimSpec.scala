@@ -6,9 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.Sim
 
 trait PropChecks { self: AnyFunSuite =>
-  def check(p: Prop): Unit = {
+  def check(p: Prop, minTests: Int = 200): Unit = {
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(200).withInitialSeed(42L), p)
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests).withInitialSeed(42L), p)
     assert(res.passed, res.status.toString)
   }
 }

@@ -1,13 +1,379 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.eval.Eval
+import graft.functions.GraftFunctions._
+import graft.ops.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.EntityResolution
+import graft.publish.Downstream
+import graft.testgen.WebCorpus
+
+/**
+ * Driver contract: every operator from SURVEY.md §2 surfaces here as a named
+ * query over the driver's parquet tables (generic relational operators) or
+ * the seeded deterministic web corpus (entity-resolution pipeline — not
+ * SQL-expressible, so those are rows-only checks).
+ *
+ * Column names are aligned 1:1 with [[SparkEntry.oracleSql]]; every oracle
+ * query emits only integer / string / exact-decimal columns plus a total
+ * deterministic ORDER BY, so the DuckDB comparison is bit-stable.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ER pipeline result cached per scale dir (several queries expose slices of it)
+  private val erCache = scala.collection.concurrent.TrieMap.empty[String, EntityResolution.Result]
+  private def erResult(spark: SparkSession, dir: String): EntityResolution.Result =
+    erCache.getOrElseUpdate(dir,
+      EntityResolution.resolve(WebCorpus.pagesForSf(spark, dir)))
+
+  /** Flagship: full record-linkage run on the sf0.001-scale corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    erResult(spark, "sf0.001").integrated.orderBy("RecordId")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----------------------------------------------------------- relational
+    "q1_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("string").as("sum_qty"),
+          max(col("l_extendedprice").cast("decimal(18,2)")).cast("string").as("max_price"),
+          min(col("l_shipdate").cast("date")).cast("string").as("first_ship"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q2_join_agg" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("total_price"))
+        .orderBy("c_mktsegment")
+    }),
+    "q3_in_broadcast" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part").filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
+    "q4_left_anti" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+    "q5_left_semi" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 1000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+    "q6_distinct" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderstatus", "o_orderpriority")
+        .distinct().orderBy("o_orderstatus", "o_orderpriority")),
+    "q7_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+    "q8_orderby_limit" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10).select("o_orderkey")),
+    "q9_union_prefix" -> ((s, d) => {
+      val main = t(s, d, "orders")
+        .select(concat(lit("m_"), col("o_orderkey").cast("string")).as("uid"))
+      val sub = t(s, d, "lineitem")
+        .select(concat(lit("sub_"), col("l_orderkey").cast("string"),
+          lit("_"), col("l_linenumber").cast("string")).as("uid"))
+      main.unionByName(sub)
+        .groupBy(substring(col("uid"), 1, 2).as("src"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("n_distinct"))
+        .orderBy("src")
+    }),
+    "q10_scalar_funcs" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          lower(col("event_type")).as("etype"),
+          md5(col("event_type").cast("binary")).as("etype_md5"),
+          substring(col("event_type"), 1, 3).as("etype3"),
+          length(col("event_type")).as("etype_len"),
+          unix_timestamp(col("ts")).as("epoch_s"))
+        .orderBy("event_id")),
+    "q11_json" -> ((s, d) =>
+      t(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+        .groupBy(pmod(col("k_value"), lit(10L)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), max("k_value").as("max_k"))
+        .orderBy("k_mod")),
+    "q12_date_parts" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("y", "m")),
+    "q13_missing_ids" -> ((s, d) => {
+      import s.implicits._
+      val wanted = Seq(1L, 2L, 99999L, 123456L).toDF("p_key")
+      wanted.join(t(s, d, "part"), wanted("p_key") === col("p_partkey"), "left_anti")
+        .orderBy("p_key")
+    }),
+    // ------------------------------------------- training-data ops: dedup
+    "q14_dedup_exact" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+        .groupBy("content_md5")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("content_md5")
+    }),
+    "q15_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "q16_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")),
+    "q17_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "q18_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "q19_minhash_dups" -> ((s, d) => {
+      // near-dup pairs over the web corpus (sub pages are perturbed copies)
+      val pages = WebCorpus.pagesForSf(s, d)
+        .select(col("url").as("doc"), col("text"))
+      Dedup.minhashLsh(pages, "text", "doc", tau = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    "q20_simhash_dups" -> ((s, d) => {
+      val pages = WebCorpus.pagesForSf(s, d)
+        .select(col("url").as("doc"), col("text"))
+      Dedup.simhash(pages, "text", "doc", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    }),
+    "q21_ngram_dups" -> ((s, d) => {
+      val pages = WebCorpus.pages(s, 300).toDF()
+        .select(col("url").as("doc"), col("text"))
+      Dedup.ngramJaccard(pages, "text", "doc", n = 3, tau = 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+    "q22_embedding_dups" -> ((s, d) =>
+      Dedup.embeddingCosine(t(s, d, "embeddings"), "embedding", "vec_id", tau = 0.4)
+        .orderBy("id_a", "id_b")),
+    // ---------------------------------------------- similarity search (ANN)
+    "q23_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.bruteForceTopK(emb, queries, k = 10)
+        .select("query_id", "item_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+    "q24_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.lshTopK(emb, queries, k = 10)
+        .select("query_id", "item_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+    // ------------------------------------------------- multimodal plumbing
+    "q25_multimodal" -> ((s, d) =>
+      Multimodal.prepare(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("modality"),
+          col("meta").getField("width").as("width"),
+          col("meta_resized").getField("width").as("width_resized"),
+          size(col("features")).as("feat_dim"))
+        .orderBy("doc_id")),
+    // ----------------------------------------------- downstream / publish
+    "q26_interactions" -> ((s, d) => {
+      // reference interactions SQL re-created on the relational fixture:
+      // orders split into two "brands" by order status; customer = id map
+      val o = t(s, d, "orders")
+      val mkP = (st: String) => o.filter(col("o_orderstatus") === st)
+        .select(col("o_custkey").cast("string").as("customer_id"),
+          col("o_orderkey").cast("string").as("item_id"),
+          unix_timestamp(col("o_orderdate")).as("purchase_date"))
+      val integrated = t(s, d, "customer")
+        .select(col("c_custkey").cast("string").as("RecordId"),
+          concat(lit("match_"), col("c_custkey").cast("string")).as("MatchID"))
+      Downstream.interactions(mkP("F"), mkP("O"), integrated)
+        .orderBy("USER_ID", "ITEM_ID", "TIMESTAMP")
+    }),
+    "q27_segment_topn" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val inter = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").cast("string").as("USER_ID"),
+          col("l_partkey").cast("string").as("ITEM_ID"),
+          unix_timestamp(col("o_orderdate")).as("TIMESTAMP"))
+      Downstream.segmentTopN(inter, Seq("1", "2", "3"), numResults = 5)
+        .orderBy("item_id", "user_id")
+    }),
+    "q28_anti_existing" -> ((s, d) => {
+      import s.implicits._
+      val fresh = Seq(("1", "u1"), ("2", "u2"), ("7777777", "u3")).toDF("item_id", "user_id")
+      val existing = t(s, d, "lineitem")
+        .select(col("l_partkey").cast("string").as("item_id"))
+      Downstream.antiJoinExisting(fresh, existing).orderBy("item_id")
+    }),
+    // ------------------------------------------------ entity resolution
+    "er_integrated" -> ((s, d) =>
+      erResult(s, d).integrated.orderBy("RecordId")),
+    "er_edges" -> ((s, d) =>
+      erResult(s, d).edges
+        .select(col("main_url"), col("sub_url"), round(col("score"), 6).as("score"))
+        .orderBy("main_url", "sub_url")),
+    "er_block_stats" -> ((s, d) => erResult(s, d).blockStats),
+    "er_eval" -> ((s, d) => {
+      val r = erResult(s, d)
+      val labeled = WebCorpus.labeledPairs(s, WebCorpus.entitiesForSf(d)).toDF()
+      Eval.asDF(s, Eval.pairwiseF1(
+        EntityResolution.predictedPairs(r.integrated), labeled, r.candidatePairs))
+    }),
+    "er_text_extract" -> ((s, d) =>
+      WebCorpus.pagesForSf(s, d)
+        .select(col("url"), html_to_text(col("html")).as("text_extracted"))
+        .orderBy("url")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+        |CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price,
+        |CAST(CAST(min(l_shipdate) AS DATE) AS VARCHAR) AS first_ship
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_in_broadcast" ->
+      """SELECT p_brand, count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q5_left_semi" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 1000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1,2",
+    "q7_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q8_orderby_limit" ->
+      "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "q9_union_prefix" ->
+      """SELECT substr(uid,1,2) AS src, count(*) AS n, count(DISTINCT uid) AS n_distinct FROM (
+        |  SELECT 'm_' || CAST(o_orderkey AS VARCHAR) AS uid FROM orders
+        |  UNION ALL
+        |  SELECT 'sub_' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) FROM lineitem
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_scalar_funcs" ->
+      """SELECT event_id, lower(event_type) AS etype,
+        |md5(event_type) AS etype_md5, substr(event_type,1,3) AS etype3,
+        |length(event_type) AS etype_len,
+        |CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q11_json" ->
+      """SELECT k_value % 10 AS k_mod, count(*) AS n, max(k_value) AS max_k FROM (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value FROM events
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m, count(*) AS n
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q13_missing_ids" ->
+      """SELECT p_key FROM (VALUES (1),(2),(99999),(123456)) AS w(p_key)
+        |WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = p_key)
+        |ORDER BY p_key""".stripMargin,
+    "q14_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_token_count" ->
+      """SELECT doc_id,
+        |len(string_split_regex(lower(text), ' +')) AS n_tokens,
+        |len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> t <> '')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q17_quality" ->
+      """SELECT doc_id, round(
+        |  0.3 * least(length(text) / 500.0, 1.0)
+        |+ 0.2 * (1.0 - least((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / greatest(len(string_split_regex(lower(text),' +')), 1.0), 1.0))
+        |+ 0.3 * (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) / greatest(length(text), 1.0))
+        |+ 0.2 * (CASE WHEN (length(text) - len(string_split_regex(lower(text),' +')) + 1.0) / greatest(len(string_split_regex(lower(text),' +')), 1.0) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+        |, 6) AS quality FROM documents ORDER BY doc_id""".stripMargin,
+    "q18_langid" ->
+      """WITH s AS (SELECT doc_id, text, string_split_regex(lower(text), ' +') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_intersect(toks, ['the','and','of','to','in','is','it','that','for','was'])) AS h_en,
+        |  len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS h_de,
+        |  len(list_intersect(toks, ['le','la','les','et','est','une','dans','que','pour','pas'])) AS h_fr,
+        |  len(list_intersect(toks, ['el','la','los','y','es','una','en','que','por','con'])) AS h_es,
+        |  regexp_matches(text, '[\u4e00-\u9fff]') AS cjk
+        | FROM s)
+        |SELECT doc_id, CASE WHEN cjk THEN 'zh'
+        |  WHEN h_es > greatest(h_en, h_de, h_fr) THEN 'es'
+        |  WHEN h_fr > greatest(h_en, h_de) THEN 'fr'
+        |  WHEN h_de > h_en THEN 'de'
+        |  WHEN h_en > 0 THEN 'en'
+        |  ELSE 'und' END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q23_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id AS item_id,
+        |       list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS c
+        |      FROM embeddings, q),
+        |r AS (SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, item_id ASC) AS rank FROM s)
+        |SELECT query_id, item_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q27_segment_topn" ->
+      """WITH inter AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS u, CAST(l_partkey AS VARCHAR) AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |buyers AS (SELECT i AS target_item, u AS buyer FROM inter WHERE i IN ('1','2','3')),
+        |co AS (SELECT DISTINCT b.target_item, x.i AS co_item
+        |       FROM inter x JOIN buyers b ON x.u = b.buyer WHERE x.i <> b.target_item),
+        |aff AS (SELECT co.target_item AS item_id, x.u AS user_id, count(*) AS affinity
+        |        FROM inter x JOIN co ON x.i = co.co_item GROUP BY 1,2),
+        |r AS (SELECT item_id, user_id, row_number() OVER (PARTITION BY item_id ORDER BY affinity DESC, user_id ASC) AS rn FROM aff)
+        |SELECT item_id, user_id FROM r WHERE rn <= 5 ORDER BY item_id, user_id""".stripMargin,
+    "q26_interactions" ->
+      """SELECT 'match_' || CAST(o_custkey AS VARCHAR) AS USER_ID,
+        |       CAST(o_orderkey AS VARCHAR) AS ITEM_ID,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS TIMESTAMP
+        |FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'match_' || CAST(o_custkey AS VARCHAR),
+        |       'sub_' || CAST(o_orderkey AS VARCHAR),
+        |       CAST(epoch(o_orderdate) AS BIGINT)
+        |FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderstatus = 'O'
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q28_anti_existing" ->
+      """SELECT item_id, user_id FROM (VALUES ('1','u1'),('2','u2'),('7777777','u3')) AS f(item_id, user_id)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE CAST(l_partkey AS VARCHAR) = item_id)
+        |ORDER BY item_id""".stripMargin,
+  )
 }

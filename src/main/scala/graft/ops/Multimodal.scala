@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.functions.Sim
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads ride as opaque
+ * `binary` columns with a typed metadata struct; decode / feature-extract /
+ * resize / frame-sample are per-batch transforms.
+ *
+ * The actual codec step is STUBBED (this container has no image/audio
+ * libraries): `decodeStub` derives deterministic fake metadata and features
+ * from a content hash. Everything Spark-side — schema, batch shape,
+ * partition-local processing, column pruning — is real and tested; swapping
+ * in a real decoder is a one-function change, marked below.
+ */
+object Multimodal {
+
+  /** Typed metadata schema carried beside every binary payload. */
+  val metaSchema = "STRUCT<modality: STRING, width: INT, height: INT, " +
+    "sample_rate: INT, n_frames: INT, codec: STRING>"
+
+  /**
+   * Deterministic fake decode — REPLACE WITH REAL CODEC HERE.
+   * A real implementation decodes `payload` (e.g. via javax.imageio /
+   * ffmpeg bindings) per partition; the stub derives plausible metadata from
+   * the payload hash so tests exercise the full dataflow deterministically.
+   */
+  def decodeStub(payload: Column, modality: Column): Column = {
+    val h = xxhash64(payload)
+    struct(
+      modality.as("modality"),
+      (pmod(h, lit(1920L)) + 32).cast("int").as("width"),
+      (pmod(shiftright(h, 8), lit(1080L)) + 32).cast("int").as("height"),
+      when(modality === "audio", (pmod(shiftright(h, 16), lit(3L)) * 16000 + 16000).cast("int"))
+        .otherwise(lit(null).cast("int")).as("sample_rate"),
+      when(modality === "video", (pmod(shiftright(h, 24), lit(7200L)) + 1).cast("int"))
+        .otherwise(lit(null).cast("int")).as("n_frames"),
+      concat(lit("fake-"), pmod(shiftright(h, 32), lit(4L)).cast("string")).as("codec"))
+  }
+
+  /**
+   * Deterministic fake feature vector (dim floats) from payload bytes —
+   * stands in for an image/audio embedding model. Sequential fold keeps it
+   * bit-stable at any parallelism.
+   */
+  def featureStub(payload: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(payload, i), lit(2000L)).cast("double") / 1000.0 - 1.0)
+        .cast("float"))
+
+  /** Resize: metadata-level transform (real impl would re-encode payload). */
+  def resizeMeta(meta: Column, maxSide: Int): Column = {
+    val w = meta.getField("width").cast("double")
+    val h = meta.getField("height").cast("double")
+    val scale = least(lit(1.0), lit(maxSide.toDouble) / greatest(w, h))
+    struct(
+      meta.getField("modality").as("modality"),
+      round(w * scale, 0).cast("int").as("width"),
+      round(h * scale, 0).cast("int").as("height"),
+      meta.getField("sample_rate").as("sample_rate"),
+      meta.getField("n_frames").as("n_frames"),
+      meta.getField("codec").as("codec"))
+  }
+
+  /** Uniform frame sampling: emit one row per sampled frame index. */
+  def sampleFrames(df: DataFrame, metaCol: String, every: Int): DataFrame =
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0),
+          greatest(coalesce(col(metaCol).getField("n_frames"), lit(1)) - 1, lit(0)),
+          lit(every))))
+
+  /**
+   * End-to-end multimodal prep over a corpus: attach payloads (here derived
+   * deterministically from doc text — the generator analog of a WARC binary
+   * column), decode, extract features, resize. The shape of this pipeline —
+   * binary in, (meta, features) out, all per-row in the scan stage — is the
+   * 100 TB-ready contract.
+   */
+  def prepare(docs: DataFrame, idCol: String, textCol: String, dim: Int = 16): DataFrame = {
+    val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(xxhash64(col(idCol)), lit(3L)) + 1).cast("int"))
+    docs.select(col(idCol), col(textCol))
+      .withColumn("payload", col(textCol).cast("binary")) // stands in for real bytes
+      .withColumn("modality", modality)
+      .withColumn("meta", decodeStub(col("payload"), col("modality")))
+      .withColumn("features", featureStub(col("payload"), dim))
+      .withColumn("meta_resized", resizeMeta(col("meta"), 512))
+      .drop(textCol)
+  }
+}

@@ -24,7 +24,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "-XX:+UseParallelGC",   // batch throughput: allocation-heavy string work
+  "-XX:ParallelGCThreads=8", // pinned: GC cost must not vary with local[N] level
+  "-XX:+AlwaysPreTouch",     // pre-fault the heap: no page-fault storms mid-benchmark
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -32,10 +32,10 @@ import graft.functions.GraftFunctions.minhash_sig
 object Blocking {
 
   case class Config(
-      minhashHashes: Int = 16,
-      minhashBandSize: Int = 2, // rows per band → hashes/bandSize bands
+      minhashHashes: Int = 15,
+      minhashBandSize: Int = 3, // rows per band → hashes/bandSize bands
       shingleSize: Int = 2,
-      maxBlock: Int = 256, // max records per key before hierarchical re-key
+      maxBlock: Int = 64, // max records per key before hierarchical re-key
       titlePrefixLen: Int = 12,
       snWindow: Int = 4, // sorted-neighborhood window
       snBucketLen: Int = 3) // sort-key prefix length defining SN buckets
@@ -47,10 +47,14 @@ object Blocking {
     regexp_replace(noSub, "\\.[a-z]+$", "")
   }
 
-  /** Pass 1+2 keys per record (domain + LSH bands), before re-keying. */
+  /** Pass 1+2 keys per record (domain + LSH bands), before re-keying.
+    * Expects a precomputed `sig` column (minhash signature) — computed once
+    * in the normalize stage and persisted, never per-pass. */
   private def rawKeys(records: DataFrame, cfg: Config): DataFrame = {
     val bands = cfg.minhashHashes / cfg.minhashBandSize
-    val sig = minhash_sig(col("text_norm"), cfg.shingleSize, cfg.minhashHashes)
+    val withSig = if (records.columns.contains("sig")) records
+      else records.withColumn("sig",
+        minhash_sig(col("text_norm"), cfg.shingleSize, cfg.minhashHashes))
     val bandKeys = (0 until bands).map { b =>
       concat(lit(s"l$b:"),
         xxhash64(slice(col("sig"), b * cfg.minhashBandSize + 1, cfg.minhashBandSize)))
@@ -58,7 +62,7 @@ object Blocking {
     val domain = records.select(col("url"), col("source"),
       concat(lit("d:"), col("domain_key")).as("block_key"),
       col("title_norm"))
-    val lsh = records.withColumn("sig", sig)
+    val lsh = withSig
       .select(col("url"), col("source"),
         explode(array(bandKeys: _*)).as("block_key"), col("title_norm"))
     domain.unionByName(lsh)

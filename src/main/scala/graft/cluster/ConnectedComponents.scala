@@ -84,7 +84,9 @@ object ConnectedComponents {
     var converged = false
     while (!converged && it < maxIter) {
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // lazy checkpoint: the signature aggregate below materializes it, so
+      // each iteration costs ONE job instead of two
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextSig = signature(next)
       it += 1
       store.foreach(_.writeIteration(it, next, nextSig._1, (System.nanoTime() - t0) / 1e6))

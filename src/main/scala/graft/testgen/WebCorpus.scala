@@ -78,7 +78,9 @@ object WebCorpus {
   }
 
   def bodyOf(entity: Long): String = {
-    val n = 80 + (math.floorMod(h(entity, 0xb0d7L), 120L)).toInt
+    // 150–450 words ≈ a few KB of html — Common-Crawl-page-sized rows, so
+    // per-record compute (extraction, minhash, scoring) dominates fixed cost
+    val n = 150 + (math.floorMod(h(entity, 0xb0d7L), 300L)).toInt
     val sb = new StringBuilder
     var j = 0
     while (j < n) {

@@ -189,7 +189,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Ann.lshTopK(emb, queries, k = 10)
+      Ann.lshTopK(emb, queries, k = 10, bits = 5)
         .select("query_id", "item_id", "rank")
         .orderBy("query_id", "rank")
     }),

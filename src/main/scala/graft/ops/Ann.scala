@@ -78,11 +78,16 @@ object Ann {
    * vectors), then exact cosine + top-k within candidates.
    */
   def lshTopK(items: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+              maxFlip: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
     val bucketedItems = items.select(col(idCol).as("item_id"), col(vecCol).as("iv"))
       .withColumn("bucket", signBucket(col("iv"), bits))
-    val probes = (0 until bits).map(b => col("qb").bitwiseXOR(lit(1L << b))) :+ col("qb")
+    // multi-probe: the query's bucket plus every bucket within `maxFlip`
+    // bit flips — boundary vectors land in adjacent buckets
+    val masks = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= maxFlip)
+    val probes = masks.map(m => col("qb").bitwiseXOR(lit(m)))
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qb", signBucket(col("qv"), bits))
       .withColumn("bucket", explode(array(probes: _*)))

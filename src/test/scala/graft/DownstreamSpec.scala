@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.publish.Downstream
+
+class DownstreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("interactions: joins on RecordId, sub items get sub_ prefix, epoch longs") {
+    val mainP = Seq(("c1", "i1", 100L), ("c2", "i2", 200L)).toDF("customer_id", "item_id", "purchase_date")
+    val subP = Seq(("s1", "i1", 300L)).toDF("customer_id", "item_id", "purchase_date")
+    val integrated = Seq(("c1", "M1"), ("c2", "M2"), ("s1", "M1"))
+      .toDF("RecordId", "MatchID")
+    val got = Downstream.interactions(mainP, subP, integrated)
+      .orderBy("USER_ID", "ITEM_ID").collect()
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq == Seq(
+      ("M1", "i1", 100L), ("M1", "sub_i1", 300L), ("M2", "i2", 200L)))
+  }
+
+  test("segment top-N: deterministic, bounded, excludes nothing below cap") {
+    val inter = Seq(
+      ("u1", "t"), ("u1", "a"), ("u2", "t"), ("u2", "a"), ("u2", "b"),
+      ("u3", "a"), ("u3", "b"), ("u4", "b"), ("u5", "c"))
+      .map { case (u, i) => (u, i, 0L) }
+      .toDF("USER_ID", "ITEM_ID", "TIMESTAMP")
+    val got = Downstream.segmentTopN(inter, Seq("t"), numResults = 2)
+      .orderBy("item_id", "user_id").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // co-items of t = {a, b}; affinities: u2 bought a+b (2), u3 a+b (2), u1 a (1)
+    assert(got.toSeq == Seq(("t", "u2"), ("t", "u3")))
+  }
+
+  test("anti-join dedupe drops already-segmented items") {
+    val fresh = Seq(("i1", "u1"), ("i9", "u2")).toDF("item_id", "user_id")
+    val existing = Seq("i1").toDF("item_id")
+    val got = Downstream.antiJoinExisting(fresh, existing).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("i9"))
+  }
+
+  test("atomic publish: readers see old or new snapshot, never a mix") {
+    val dir = Files.createTempDirectory("graft-pub").toString + "/latest"
+    Downstream.publishAtomic(Seq((1, "v1")).toDF("id", "v"), dir)
+    assert(Downstream.readLatest(spark, dir).collect().map(_.getString(1)).toSeq == Seq("v1"))
+    Downstream.publishAtomic(Seq((1, "v2"), (2, "v2")).toDF("id", "v"), dir)
+    val after = Downstream.readLatest(spark, dir).collect().map(_.getString(1))
+    assert(after.length == 2 && after.forall(_ == "v2"))
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke: every SparkEntry query runs on sf0.001 and the oracle-declared
+  * names stay in sync with the queries map. */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("oracleSql keys are a subset of queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"query $name runs on sf0.001") {
+      val df = fn(spark, sf)
+      val n = df.count()
+      // q4/q13/q28 are anti-joins that can legitimately be small but not negative
+      assert(n >= 0)
+      if (!Set("q4_left_anti", "q22_embedding_dups").contains(name))
+        assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

@@ -93,6 +93,18 @@ case class SimHashExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class AsciiLowerExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ascii_lower"
+  override protected def nullSafeEval(v: Any): Any =
+    Sim.asciiLower(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sim.asciiLower($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class HtmlToTextExpr(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -119,6 +131,7 @@ object GraftFunctions {
     col(MinHashSigExpr(expr(c), shingle, numHashes))
   def simhash64(c: Column): Column = col(SimHashExpr(expr(c)))
   def html_to_text(c: Column): Column = col(HtmlToTextExpr(expr(c)))
+  def ascii_lower(c: Column): Column = col(AsciiLowerExpr(expr(c)))
 
   /** Register all as SQL temp functions so `spark.sql` text can use them. */
   def register(spark: SparkSession): Unit = {

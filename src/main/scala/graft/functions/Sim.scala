@@ -288,4 +288,38 @@ object Sim {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * Locale-free lowercase with a zero-garbage ASCII fast path. Spark 4's
+   * `lower()` routes through ICU collation support (observed dominating
+   * profiles and contending across task threads); web-corpus normalization
+   * only needs deterministic casefolding, so: pure-ASCII inputs lowercase
+   * byte-wise; anything else falls back to Locale.ROOT (still deterministic,
+   * never the platform locale).
+   */
+  def asciiLower(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    var hasUpper = false
+    while (i < n && ascii) {
+      val b = s.getByte(i)
+      if (b < 0) ascii = false
+      else if (b >= 'A' && b <= 'Z') hasUpper = true
+      i += 1
+    }
+    if (ascii) {
+      if (!hasUpper) return s
+      val out = s.getBytes.clone()
+      var j = 0
+      while (j < n) {
+        val b = out(j)
+        if (b >= 'A' && b <= 'Z') out(j) = (b + 32).toByte
+        j += 1
+      }
+      UTF8String.fromBytes(out)
+    } else {
+      UTF8String.fromString(s.toString.toLowerCase(java.util.Locale.ROOT))
+    }
+  }
 }

@@ -41,7 +41,7 @@ object Dedup {
       concat(lit(s"$b:"), xxhash64(slice(col("sig"), b * bandSize + 1, bandSize)))
     }
     val keyed = df.select(col(idCol).as("id"), col(textCol).as("txt"))
-      .withColumn("sig", minhash_sig(lower(col("txt")), shingle, numHashes))
+      .withColumn("sig", minhash_sig(ascii_lower(col("txt")), shingle, numHashes))
       .select(col("id"), col("txt"), explode(array(bandKeys: _*)).as("bucket"))
     val hot = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
@@ -51,7 +51,7 @@ object Dedup {
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        token_jaccard(lower(col("txt_a")), lower(col("txt_b"))).as("jaccard"))
+        token_jaccard(ascii_lower(col("txt_a")), ascii_lower(col("txt_b"))).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= tau)
   }
@@ -63,7 +63,7 @@ object Dedup {
    */
   def simhash(df: DataFrame, textCol: String, idCol: String,
               maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    val fp = simhash64(lower(col(textCol)))
+    val fp = simhash64(ascii_lower(col(textCol)))
     val withFp = df.select(col(idCol).as("id"), fp.as("fp"))
     val banded = withFp.select(col("id"), col("fp"),
       explode(array((0 until 4).map(b =>

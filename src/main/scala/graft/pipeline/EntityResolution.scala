@@ -57,7 +57,7 @@ object EntityResolution {
     val textEx = html_to_text(col("html"))
     pages
       .withColumn("text_ex", textEx)
-      .withColumn("text_norm", lower(col("text_ex")))
+      .withColumn("text_norm", ascii_lower(col("text_ex")))
       .withColumn("title_norm", substring_index(col("text_norm"), " ", 8))
       .withColumn("domain_key", Blocking.domainKey(col("url")))
       .withColumn("sort_key",

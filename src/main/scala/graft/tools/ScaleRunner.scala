@@ -14,6 +14,14 @@ object ScaleRunner {
     val corpus = args(1)
     val warmupCorpus = args(2)
     val spark = graft.GraftSession.create(cpus, s"graft-scale-$cpus")
+    val taskTime = new java.util.concurrent.atomic.AtomicLong()
+    val gcTime = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskTime.addAndGet(e.taskMetrics.executorRunTime)
+        gcTime.addAndGet(e.taskMetrics.jvmGCTime)
+      }
+    })
     def run(path: String): (Double, Long) = {
       val pages = spark.read.parquet(path)
       val t0 = System.nanoTime()
@@ -24,9 +32,12 @@ object ScaleRunner {
       spark.sharedState.cacheManager.clearCache()
       (secs, docs)
     }
-    run(warmupCorpus) // JIT + codegen + shuffle-path warmup
-    val (sec, docs) = run(corpus)
-    println(f"[scale] cpus=$cpus sec=$sec%.3f docs=$docs")
+    run(warmupCorpus) // warm everything: JIT, codegen, page cache, shuffle path
+    taskTime.set(0); gcTime.set(0)
+    val (sec, docs) = run(corpus) // measured, steady-state
+    val util = taskTime.get() / 1000.0 / (sec * cpus)
+    println(f"[scale] cpus=$cpus sec=$sec%.3f docs=$docs " +
+      f"taskSec=${taskTime.get() / 1000.0}%.1f gcSec=${gcTime.get() / 1000.0}%.1f util=$util%.2f")
     spark.stop()
   }
 }

@@ -233,6 +233,54 @@ object SparkEntry {
         .select(col("l_partkey").cast("string").as("item_id"))
       Downstream.antiJoinExisting(fresh, existing).orderBy("item_id")
     }),
+    "q29_coalesce_outer" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("c_mktsegment"), lit("NULL")).as("segment"))
+        .groupBy("segment").agg(count(lit(1)).as("n"))
+        .orderBy("segment")
+    }),
+    "q30_having" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("l_orderkey")).as("n_orders"))
+        .filter(col("n") > 500)
+        .orderBy("l_suppkey")),
+    "q31_from_unixtime" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("epoch"))
+        .select(col("o_orderkey"),
+          to_date(from_unixtime(col("epoch"))).cast("string").as("d"))
+        .orderBy("o_orderkey")),
+    "q32_csv_roundtrip" -> ((s, d) => {
+      // S1/S4/S9: header CSV sink + header-skipping scan with schema inference
+      val out = s"/tmp/graft-csv-roundtrip-${new java.io.File(d).getName}"
+      t(s, d, "documents").select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").option("inferSchema", "true").csv(out)
+        .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .orderBy("lang")
+    }),
+    "q33_jsonlines_roundtrip" -> ((s, d) => {
+      // S5: JSON-lines scan (Personalize batch output analog) + explode
+      val out = s"/tmp/graft-jsonl-roundtrip-${new java.io.File(d).getName}"
+      t(s, d, "part").select(
+          col("p_partkey").as("item_id"),
+          array(col("p_brand"), col("p_type")).as("tags"))
+        .write.mode("overwrite").json(out)
+      s.read.json(out)
+        .select(col("item_id"), explode(col("tags")).as("tag"))
+        .groupBy("tag").agg(count(lit(1)).as("n"))
+        .orderBy("tag")
+    }),
+    "q34_stream_window" -> ((s, d) =>
+      graft.streaming.EventStream.windowedCounts(s, s"$d/events.parquet",
+        queryName = "ec_" + new java.io.File(d).getName.replace(".", "_"))
+        .select(col("win_start").cast("long").as("win_epoch"), col("event_type"), col("n"))
+        .orderBy("win_epoch", "event_type")),
     // ------------------------------------------------ entity resolution
     "er_integrated" -> ((s, d) =>
       erResult(s, d).integrated.orderBy("RecordId")),
@@ -375,5 +423,19 @@ object SparkEntry {
       """SELECT item_id, user_id FROM (VALUES ('1','u1'),('2','u2'),('7777777','u3')) AS f(item_id, user_id)
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE CAST(l_partkey AS VARCHAR) = item_id)
         |ORDER BY item_id""".stripMargin,
+    "q29_coalesce_outer" ->
+      """SELECT coalesce(c_mktsegment, 'NULL') AS segment, count(*) AS n
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q30_having" ->
+      """SELECT l_suppkey, count(*) AS n, count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY 1 HAVING count(*) > 500 ORDER BY 1""".stripMargin,
+    "q31_from_unixtime" ->
+      """SELECT o_orderkey, CAST(CAST(to_timestamp(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS DATE) AS VARCHAR) AS d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q34_stream_window" ->
+      """SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT) AS win_epoch,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
   )
 }

@@ -6,9 +6,11 @@ import org.apache.spark.sql.SparkSession
   * tmpfs-backed shuffle dirs when available (local-mode benchmarking). */
 object GraftSession {
   def create(cpus: Int, appName: String = "graft"): SparkSession = {
-    val b = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(appName)
+    // honor an externally-provided master (spark-submit to a real cluster);
+    // `cpus` then only sizes shuffle partitions
+    val base = SparkSession.builder().appName(appName)
+    val b = (if (sys.props.contains("spark.master")) base
+             else base.master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -78,8 +78,8 @@ object WebCorpus {
   }
 
   def bodyOf(entity: Long): String = {
-    // 150–450 words ≈ a few KB of html — Common-Crawl-page-sized rows, so
-    // per-record compute (extraction, minhash, scoring) dominates fixed cost
+    // 150–450 words (~1–3 KB of text) — web-page-sized rows, keeping the
+    // per-record compute (extraction, minhash, scoring) above fixed cost
     val n = 150 + (math.floorMod(h(entity, 0xb0d7L), 300L)).toInt
     val sb = new StringBuilder
     var j = 0

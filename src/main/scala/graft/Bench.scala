@@ -99,11 +99,11 @@ object Bench {
     // Corpus = 15× verify scale so executor-bound work dominates fixed
     // driver cost (the quantity the 1000-executor extrapolation cares about).
     val scaleEntities = WebCorpus.entitiesForSf(sfDir) * 10
-    // warmup corpus = full size: the measured run is steady-state
     val (corpus, warmCorpus) = {
       val s = session(32)
       val p = materializeCorpus(s, scaleEntities)
-      s.stop(); (p, p)
+      val w = materializeCorpus(s, scaleEntities / 4) // JIT/codegen warmup size
+      s.stop(); (p, w)
     }
     // Each level runs in its OWN JVM (fresh JIT, GC threads ∝ cores) — the
     // faithful stand-in for separately-provisioned clusters of N and 4N

@@ -9,6 +9,7 @@ object GraftSession {
     // honor an externally-provided master (spark-submit to a real cluster);
     // `cpus` then only sizes shuffle partitions
     val base = SparkSession.builder().appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
     val b = (if (sys.props.contains("spark.master")) base
              else base.master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus.toString)

@@ -59,7 +59,9 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+    // 12g fits the scaling corpus with headroom; pre-touching a larger heap
+    // with few GC threads would cost ~1 min of child-JVM startup per level
+    val mem = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM", "12g")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xmx$mem", s"-Xms$mem", "-XX:+UseParallelGC", "-XX:+AlwaysPreTouch",
       s"-XX:ParallelGCThreads=${math.max(2, cpus)}",
@@ -76,20 +78,26 @@ object Bench {
     (m.group(1).toDouble, m.group(2).toLong)
   }
 
+  private def mark(m: String): Unit =
+    System.err.println(s"[bench-phase] ${System.currentTimeMillis() / 1000}s $m")
+
   def main(args: Array[String]): Unit = {
+    mark("start")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val headline = Seq("q1_agg", "q2_join_agg", "q7_window_topn", "q14_dedup_exact",
-      "q19_minhash_dups", "q23_ann_brute", "q26_interactions", "er_integrated")
+      "q19_minhash_dups", "q23_ann_brute", "q26_interactions")
 
     val spark = session(cpus)
     val results = headline.map { name =>
+      mark(s"headline $name")
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     spark.stop()
+    mark("headline done")
 
     // Scaling experiment — the north-rule evidence. Primary pair: N=2 vs
     // 4N=8 cores, both inside this box's linear-CPU region (a pure-CPU
@@ -98,7 +106,7 @@ object Bench {
     // not the pipeline; it is still reported as a secondary point).
     // Corpus = 15× verify scale so executor-bound work dominates fixed
     // driver cost (the quantity the 1000-executor extrapolation cares about).
-    val scaleEntities = WebCorpus.entitiesForSf(sfDir) * 10
+    val scaleEntities = WebCorpus.entitiesForSf(sfDir) * 8
     val (corpus, warmCorpus) = {
       val s = session(32)
       val p = materializeCorpus(s, scaleEntities)
@@ -110,14 +118,14 @@ object Bench {
     // executors. Best-of-2: this shared host has noisy-neighbor CPU
     // interference (observed ±25% per-task-time swings on identical work),
     // and min wall-clock is the least-interference estimate of true scaling.
-    def run(cpus: Int): (Double, Long) = {
-      val a = spawnScaleRun(cpus, corpus, warmCorpus)
-      val b = spawnScaleRun(cpus, corpus, warmCorpus)
-      if (a._1 <= b._1) a else b
-    }
-    val (sec2, docs) = run(2)
-    val (sec8, _) = run(8)
-    val (sec32, _) = run(32)
+    mark("corpus materialized")
+    def run(cpus: Int, reps: Int): (Double, Long) =
+      (1 to reps).map { _ =>
+        val r = spawnScaleRun(cpus, corpus, warmCorpus); mark(s"scale run cpus=$cpus done"); r
+      }.minBy(_._1)
+    val (sec2, docs) = run(2, 2)
+    val (sec8, _) = run(8, 2)
+    val (sec32, _) = run(32, 1) // secondary point (hardware-capped anyway)
     val tput2 = docs / sec2
     val tput8 = docs / sec8
     val tput32 = docs / sec32

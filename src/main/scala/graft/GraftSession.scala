@@ -2,8 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Canonical session factory: AQE on, UTC, shuffle partitions = cores,
-  * tmpfs-backed shuffle dirs when available (local-mode benchmarking). */
+/** Canonical session factory: AQE on, UTC, tmpfs-backed shuffle dirs when
+  * available (gated + capacity-checked, per-process suffix).
+  *
+  * Shuffle partitions are deliberately DECOUPLED from the core count: at low
+  * parallelism (local[2]) `partitions = cores` makes each shuffle partition's
+  * working set huge (whole-stage hash maps, sort buffers), distorting the
+  * N-vs-4N scaling comparison and — on a real cluster — causing spills. A
+  * floor of 64 keeps per-task working sets small and lets AQE coalesce
+  * upward from abundance (`parallelismFirst` keeps at least one partition
+  * per core). */
 object GraftSession {
   def create(cpus: Int, appName: String = "graft"): SparkSession = {
     // honor an externally-provided master (spark-submit to a real cluster);
@@ -12,13 +20,25 @@ object GraftSession {
       .withExtensions(new graft.plans.GraftExtensions)
     val b = (if (sys.props.contains("spark.master")) base
              else base.master(s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    })
+    // tmpfs shuffle dir: opt-out via SPARK_GRAFT_TMPFS=0; only when /dev/shm
+    // has real headroom (shuffle spill on RAM-backed tmpfs can starve a
+    // general host); per-process suffix avoids cross-session collisions
     val shm = new java.io.File("/dev/shm")
-    val withDir = if (shm.isDirectory && shm.canWrite)
-      b.config("spark.local.dir", "/dev/shm/graft-spark") else b
+    val useTmpfs = sys.env.getOrElse("SPARK_GRAFT_TMPFS", "1") != "0" &&
+      shm.isDirectory && shm.canWrite && shm.getUsableSpace > (16L << 30)
+    val withDir = if (useTmpfs)
+      b.config("spark.local.dir",
+        s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}")
+    else b
     val s = withDir.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -26,11 +26,14 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  // ER pipeline result cached per scale dir (several queries expose slices of it)
-  private val erCache = scala.collection.concurrent.TrieMap.empty[String, EntityResolution.Result]
+  // ER pipeline result cached per (session, scale dir) — several queries
+  // expose slices of it; keying on the session id keeps a later session from
+  // receiving DataFrames bound to a stopped one
+  private val erCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), EntityResolution.Result]
   private def erResult(spark: SparkSession, dir: String): EntityResolution.Result =
-    erCache.getOrElseUpdate(dir,
-      EntityResolution.resolve(WebCorpus.pagesForSf(spark, dir)))
+    erCache.getOrElseUpdate((System.identityHashCode(spark).toString, dir),
+      EntityResolution.resolve(WebCorpus.pagesMaterialized(spark, dir)))
 
   /** Flagship: full record-linkage run on the sf0.001-scale corpus. */
   def entry(spark: SparkSession): DataFrame =
@@ -156,13 +159,13 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q19_minhash_dups" -> ((s, d) => {
       // near-dup pairs over the web corpus (sub pages are perturbed copies)
-      val pages = WebCorpus.pagesForSf(s, d)
+      val pages = WebCorpus.pagesMaterialized(s, d)
         .select(col("url").as("doc"), col("text"))
       Dedup.minhashLsh(pages, "text", "doc", tau = 0.8)
         .orderBy("id_a", "id_b")
     }),
     "q20_simhash_dups" -> ((s, d) => {
-      val pages = WebCorpus.pagesForSf(s, d)
+      val pages = WebCorpus.pagesMaterialized(s, d)
         .select(col("url").as("doc"), col("text"))
       Dedup.simhash(pages, "text", "doc", maxHamming = 6)
         .orderBy("id_a", "id_b")
@@ -296,7 +299,7 @@ object SparkEntry {
         EntityResolution.predictedPairs(r.integrated), labeled, r.candidatePairs))
     }),
     "er_text_extract" -> ((s, d) =>
-      WebCorpus.pagesForSf(s, d)
+      WebCorpus.pagesMaterialized(s, d)
         .select(col("url"), html_to_text(col("html")).as("text_extracted"))
         .orderBy("url")),
   )

@@ -3,8 +3,6 @@ package graft.blocking
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.minhash_sig
-
 /**
  * Multi-pass blocking: the candidate-generation layer of the record-linkage
  * pipeline. The reference declares this away inside AWS Entity Resolution's
@@ -18,12 +16,20 @@ import graft.functions.GraftFunctions.minhash_sig
  *   3. sorted-neighborhood over url tokens — order-based, catches near-equal
  *      slugs.
  *
+ * Record identity: every record is dictionary-encoded to a 64-bit id
+ * (xxhash64(url), audited for collisions at the pipeline layer) BEFORE
+ * blocking, and all block keys are themselves 64-bit hashes — so the key
+ * stream, the candidate-pair stream, and every downstream shuffle carry
+ * 8-byte longs instead of url/key strings. A hash collision between two
+ * distinct BLOCK keys merely adds candidate pairs (scored exactly later):
+ * recall can only go up, precision is unaffected.
+ *
  * Skew handling: hot blocking keys (Zipf domain head) would make pair
  * generation quadratic. Oversized blocks are re-keyed hierarchically —
- * `domain` → `domain|title-prefix` — which preserves true pairs (titles of
- * matching pages agree) while bounding block size. Residual oversized blocks
- * are dropped WITH a logged metric (never silently). AQE skew-join splitting
- * stays on as a backstop for the join shuffles.
+ * `domain` → `hash(domain, title-prefix)` — which preserves true pairs
+ * (titles of matching pages agree) while bounding block size. Residual
+ * oversized blocks are dropped WITH a logged metric (never silently). AQE
+ * skew-join splitting stays on as a backstop for the join shuffles.
  *
  * Determinism: every key is a pure function of row content (never of
  * partitioning), so the candidate set — and therefore the final clusters —
@@ -48,28 +54,26 @@ object Blocking {
   }
 
   /** Pass 1+2 keys per record (domain + LSH bands), before re-keying.
-    * Expects a precomputed `sig` column (minhash signature) — computed once
-    * in the normalize stage and persisted, never per-pass. */
+    * Expects precomputed `id` (64-bit record id) and `sig` (minhash
+    * signature) columns — computed once in the normalize stage and
+    * persisted, never per-pass. Keys are emitted as 64-bit hashes. */
   private def rawKeys(records: DataFrame, cfg: Config): DataFrame = {
     val bands = cfg.minhashHashes / cfg.minhashBandSize
-    val withSig = if (records.columns.contains("sig")) records
-      else records.withColumn("sig",
-        minhash_sig(col("text_norm"), cfg.shingleSize, cfg.minhashHashes))
     val bandKeys = (0 until bands).map { b =>
-      concat(lit(s"l$b:"),
+      xxhash64(lit(b + 1),
         xxhash64(slice(col("sig"), b * cfg.minhashBandSize + 1, cfg.minhashBandSize)))
     }
-    val domain = records.select(col("url"), col("source"),
-      concat(lit("d:"), col("domain_key")).as("block_key"),
+    val domain = records.select(col("id"), col("source"),
+      xxhash64(lit(0), col("domain_key")).as("block_key"),
       col("title_norm"))
-    val lsh = withSig
-      .select(col("url"), col("source"),
+    val lsh = records
+      .select(col("id"), col("source"),
         explode(array(bandKeys: _*)).as("block_key"), col("title_norm"))
     domain.unionByName(lsh)
   }
 
   /**
-   * (url, source, block_key) after hierarchical re-keying of oversized
+   * (id, source, block_key) after hierarchical re-keying of oversized
    * blocks, plus a one-row stats frame for the metrics/lineage table.
    */
   def blockKeys(records: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
@@ -82,9 +86,9 @@ object Blocking {
     val keyed = raw.join(broadcast(oversized), Seq("block_key"), "left")
       .withColumn("block_key",
         when(col("n").isNull, col("block_key"))
-          .otherwise(concat(col("block_key"), lit("|t:"),
+          .otherwise(xxhash64(col("block_key"),
             substring(col("title_norm"), 1, cfg.titlePrefixLen))))
-      .select("url", "source", "block_key")
+      .select("id", "source", "block_key")
     val sizes2 = keyed.groupBy("block_key").agg(count(lit(1)).as("n"))
     val stillHot = sizes2.filter(col("n") > cfg.maxBlock * 4L)
     val kept = keyed.join(broadcast(stillHot), Seq("block_key"), "left_anti")
@@ -97,46 +101,46 @@ object Blocking {
     (kept, stats)
   }
 
-  /** Cross-source candidate pairs from shared blocking keys. */
+  /** Cross-source candidate pairs (main_id, sub_id) from shared block keys. */
   def candidatePairs(keys: DataFrame): DataFrame = {
-    val a = keys.filter(col("source") === "main").select(col("block_key"), col("url").as("main_url"))
-    val b = keys.filter(col("source") === "sub").select(col("block_key"), col("url").as("sub_url"))
-    a.join(b, "block_key").select("main_url", "sub_url").distinct()
+    val a = keys.filter(col("source") === "main").select(col("block_key"), col("id").as("main_id"))
+    val b = keys.filter(col("source") === "sub").select(col("block_key"), col("id").as("sub_id"))
+    a.join(b, "block_key").select("main_id", "sub_id").distinct()
   }
 
   /**
    * Pass 3 — sorted-neighborhood over url tokens, emitted directly as
-   * cross-source pairs. Deterministic scale-out: records are bucketed by a
-   * content-defined prefix of `sort_key` (never by sampled range bounds, so
-   * the pair set is independent of input partitioning), each bucket is
-   * sorted, and every record pairs with its `snWindow` in-bucket
-   * predecessors. Work per bucket is LINEAR (w·|bucket|), so even a hot
-   * bucket cannot go quadratic. Cross-bucket neighbors are intentionally
-   * not paired: records that match share an identical sort key (same slug
-   * tokens) and always land in the same bucket.
+   * cross-source (main_id, sub_id) pairs. Deterministic scale-out: records
+   * are bucketed by a content-defined prefix of `sort_key` (never by sampled
+   * range bounds, so the pair set is independent of input partitioning),
+   * each bucket is sorted, and every record pairs with its `snWindow`
+   * in-bucket predecessors. Work per bucket is LINEAR (w·|bucket|), so even
+   * a hot bucket cannot go quadratic. Cross-bucket neighbors are
+   * intentionally not paired: records that match share an identical sort key
+   * (same slug tokens) and always land in the same bucket.
    */
   def sortedNeighborhoodPairs(records: DataFrame, cfg: Config = Config()): DataFrame = {
     import records.sparkSession.implicits._
     val prepared = records
       .select(substring(col("sort_key"), 1, cfg.snBucketLen).as("bucket"),
-        col("sort_key"), col("url"), col("source"))
+        col("sort_key"), col("id"), col("source"))
       .repartition(col("bucket"))
-      .sortWithinPartitions("bucket", "sort_key", "url")
-      .as[(String, String, String, String)]
+      .sortWithinPartitions("bucket", "sort_key", "id")
+      .as[(String, String, Long, String)]
     val w = cfg.snWindow
     prepared.mapPartitions { it =>
       var bucket: String = null
-      val buf = scala.collection.mutable.Queue.empty[(String, String)] // (url, source)
-      it.flatMap { case (b, _, url, source) =>
+      val buf = scala.collection.mutable.Queue.empty[(Long, String)] // (id, source)
+      it.flatMap { case (b, _, id, source) =>
         if (b != bucket) { bucket = b; buf.clear() }
         val pairs = buf.iterator.collect {
           case (u, s) if s != source =>
-            if (s == "main") (u, url) else (url, u) // (main_url, sub_url)
+            if (s == "main") (u, id) else (id, u) // (main_id, sub_id)
         }.toVector
-        buf.enqueue((url, source))
+        buf.enqueue((id, source))
         if (buf.size > w) buf.dequeue()
         pairs
       }
-    }.toDF("main_url", "sub_url").distinct()
+    }.toDF("main_id", "sub_id").distinct()
   }
 }

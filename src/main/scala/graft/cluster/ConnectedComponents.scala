@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
  * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
  *
  * Implementation notes (scale-first):
- *   - Nodes are ids of any ordered type (we use url strings; at 10^12-doc
- *     scale a dictionary-encoded long id layer drops in without changing
- *     this code — min/least work identically).
+ *   - Nodes are ids of any ordered type. The pipeline dictionary-encodes
+ *     records to 64-bit ids (xxhash64(url)) before clustering, so every
+ *     iteration shuffles and compares 8-byte longs, not 60–120-byte url
+ *     strings — severalfold less per-task memory traffic, the quantity that
+ *     binds under high thread/executor parallelism.
  *   - Neither star step materializes neighbor lists: each is a partial-
  *     aggregated `groupBy.min` plus one equi-join — no collect_set, so a
  *     celebrity node (huge star) costs O(|N|) rows, never O(|N|^2) memory.
@@ -21,8 +23,11 @@ import org.apache.spark.sql.functions._
  *     (Catalyst does not optimize across iterations) and optionally writes
  *     a durable per-iteration snapshot + per-partition match-count metrics
  *     through [[CheckpointStore]] for exact resume.
- *   - Convergence test = (count, xor-ish hash aggregate) pair — one cheap
- *     action per iteration, no expensive except/subtract.
+ *   - Convergence test = (count, mod-sum hash) signature — one cheap action
+ *     per iteration. When the signature first repeats, equality is CONFIRMED
+ *     with one multiset `exceptAll` (counts already match, so one direction
+ *     suffices): a hash collision can cost one extra confirmation job but can
+ *     never silently terminate on unequal edge sets.
  */
 object ConnectedComponents {
 
@@ -57,9 +62,8 @@ object ConnectedComponents {
   }
 
   private def signature(edges: DataFrame): (Long, Long) = {
-    // modular sum keeps the aggregate ANSI-safe (no long overflow) — a
-    // (count, mod-sum) collision on *consecutive differing* iterations is
-    // vanishingly unlikely, and the algorithm's fixpoint is structural anyway
+    // modular sum keeps the aggregate ANSI-safe (no long overflow); a match
+    // only triggers the exact confirmation below, never terminates by itself
     val row = edges.agg(
       count(lit(1)).as("n"),
       coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L))), lit(0L)).as("h")).head()
@@ -75,7 +79,7 @@ object ConnectedComponents {
    */
   def run(edges: DataFrame, store: Option[CheckpointStore] = None,
           maxIter: Int = 64, startIter: Int = 0): DataFrame = {
-    var cur = edges.select(col("src").cast("string"), col("dst").cast("string"))
+    var cur = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
@@ -90,7 +94,9 @@ object ConnectedComponents {
       val nextSig = signature(next)
       it += 1
       store.foreach(_.writeIteration(it, next, nextSig._1, (System.nanoTime() - t0) / 1e6))
-      converged = nextSig == sig
+      // signature match is a cheap candidate test; exact multiset equality
+      // is confirmed once (counts equal ⇒ one-directional exceptAll suffices)
+      converged = nextSig == sig && next.exceptAll(cur).isEmpty
       cur = next
       sig = nextSig
     }

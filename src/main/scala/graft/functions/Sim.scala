@@ -47,8 +47,76 @@ object Sim {
 
   // ------------------------------------------------------------ Jaro-Winkler
 
-  def jaroWinkler(a: UTF8String, b: UTF8String): Double =
-    jaroWinkler(a.toString, b.toString)
+  /** Jaro-Winkler over UTF8String. ASCII inputs ≤64 bytes take a zero-
+    * allocation byte-level path (match flags in two long bitmasks, no
+    * String/boolean[] garbage — the per-pair allocations otherwise dominate
+    * memory bandwidth under high task parallelism); anything else falls back
+    * to the char-level reference implementation. Results are identical: for
+    * ASCII, bytes and chars coincide 1:1. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val la = a.numBytes()
+    val lb = b.numBytes()
+    if (la <= 64 && lb <= 64 && isAscii(a) && isAscii(b)) {
+      val j = jaroBytes(a, b)
+      if (j <= 0.7) return j // standard boost threshold
+      var l = 0
+      val maxPrefix = math.min(4, math.min(la, lb))
+      while (l < maxPrefix && a.getByte(l) == b.getByte(l)) l += 1
+      j + l * 0.1 * (1.0 - j)
+    } else jaroWinkler(a.toString, b.toString)
+  }
+
+  @inline private def isAscii(s: UTF8String): Boolean = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) < 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Byte-level Jaro for ASCII strings ≤64 bytes; mirrors [[jaro]] exactly
+    * (same window, greedy matching, integer-halved transpositions). */
+  private def jaroBytes(s1: UTF8String, s2: UTF8String): Double = {
+    val n1 = s1.numBytes()
+    val n2 = s2.numBytes()
+    if (n1 == 0 && n2 == 0) return 1.0
+    if (n1 == 0 || n2 == 0) return 0.0
+    val window = math.max(0, math.max(n1, n2) / 2 - 1)
+    var m1 = 0L
+    var m2 = 0L
+    var matches = 0
+    var i = 0
+    while (i < n1) {
+      val c = s1.getByte(i)
+      val lo = math.max(0, i - window)
+      val hi = math.min(n2 - 1, i + window)
+      var k = lo
+      var found = false
+      while (k <= hi && !found) {
+        if (((m2 >>> k) & 1L) == 0L && c == s2.getByte(k)) {
+          m1 |= 1L << i; m2 |= 1L << k; matches += 1; found = true
+        }
+        k += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < n1) {
+      if (((m1 >>> i) & 1L) != 0L) {
+        while (((m2 >>> k) & 1L) == 0L) k += 1
+        if (s1.getByte(i) != s2.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / n1 + m / n2 + (m - t / 2) / m) / 3.0
+  }
 
   /** Standard Jaro-Winkler similarity (prefix scale 0.1, max prefix 4). */
   def jaroWinkler(s1: String, s2: String): Double = {
@@ -110,20 +178,32 @@ object Sim {
    * splitting is byte-safe).
    */
   def tokenHashes(s: UTF8String): Array[Long] = {
+    // primitive grow→sort→in-place-dedup: no TreeSet, no boxed Longs — the
+    // per-record boxing otherwise dominates allocation bandwidth at high
+    // task parallelism (measured via JFR execution samples)
     val n = s.numBytes()
-    val set = new java.util.TreeSet[java.lang.Long]()
+    var arr = new Array[Long](math.max(8, n / 6))
+    var t = 0
     var i = 0
     while (i < n) {
       while (i < n && isWsByte(s.getByte(i))) i += 1
       val start = i
       while (i < n && !isWsByte(s.getByte(i))) i += 1
-      if (i > start) set.add(hashUtf8Range(s, start, i, 0x5eedL))
+      if (i > start) {
+        if (t == arr.length) arr = java.util.Arrays.copyOf(arr, t * 2)
+        arr(t) = hashUtf8Range(s, start, i, 0x5eedL)
+        t += 1
+      }
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = it.next(); k += 1 }
-    out
+    if (t == 0) return Array.emptyLongArray
+    java.util.Arrays.sort(arr, 0, t)
+    var w = 1
+    var r = 1
+    while (r < t) {
+      if (arr(r) != arr(w - 1)) { arr(w) = arr(r); w += 1 }
+      r += 1
+    }
+    if (w == arr.length) arr else java.util.Arrays.copyOf(arr, w)
   }
 
   @inline private def isWsByte(b: Byte): Boolean =
@@ -153,9 +233,10 @@ object Sim {
 
   /** Token hash set as Catalyst array (sorted) — precompute once per record
     * so pair scoring shuffles ~840B of hashes instead of KBs of text and
-    * never re-tokenizes. */
-  def tokenHashArray(s: UTF8String): GenericArrayData =
-    new GenericArrayData(tokenHashes(s))
+    * never re-tokenizes. UnsafeArrayData keeps the longs primitive
+    * (GenericArrayData would box every element). */
+  def tokenHashArray(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(tokenHashes(s))
 
   /** Exact token-set Jaccard from two SORTED hash arrays (merge-count). */
   def tokenJaccardSorted(a: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -239,7 +320,7 @@ object Sim {
    * MinHash signature: numHashes permutations h_i(x) = mix64(x ^ seed_i),
    * min over the document's word-shingles. Empty doc => Long.MaxValue row.
    */
-  def minHashSig(s: UTF8String, shingle: Int, numHashes: Int): GenericArrayData = {
+  def minHashSig(s: UTF8String, shingle: Int, numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val sh = shingleHashes(s, shingle)
     val sig = new Array[Long](numHashes)
     var i = 0
@@ -255,7 +336,7 @@ object Sim {
       sig(i) = mn
       i += 1
     }
-    new GenericArrayData(sig)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.blocking.Blocking
 import graft.cluster.{CheckpointStore, ConnectedComponents}
@@ -19,14 +18,24 @@ import graft.functions.GraftFunctions._
  * (lib/data-storage.ts:155-217): one row per input record carrying
  *   RecordId          — the per-source record key (here: url),
  *   InputSourceARN    — which source the row came from (here: main|sub),
- *   MatchID           — cluster id, same entity ⇒ same value,
+ *   MatchID           — cluster id, same entity ⇒ same value (here: the
+ *                       lexicographically smallest url in the cluster),
  *   ConfidenceLevel   — calibrated match confidence in [0,1].
  *
  * Scale design: all per-record derivations (text extraction, normalization,
  * minhash signatures) are codegen'd expressions evaluated in the scan stage;
- * blocking bounds block sizes (skew-aware re-keying); pair scoring touches
- * only candidate pairs; clustering is O(log n) rounds of partial-aggregated
- * joins with per-iteration checkpoints.
+ * records are dictionary-encoded to 64-bit ids (xxhash64(url)) so that every
+ * pair / edge / clustering shuffle moves 8-byte longs instead of url
+ * strings; blocking bounds block sizes (skew-aware re-keying); pair scoring
+ * touches only candidate pairs through a PROVABLY LOSSLESS two-stage funnel;
+ * clustering is O(log n) rounds of partial-aggregated joins with
+ * per-iteration checkpoints. Urls are re-attached only at the output edge.
+ *
+ * Id collisions: 64-bit hash ids collide with probability ~n²/2⁶⁵ (≈3·10⁻⁹
+ * at 10⁶ records, ≈0.03 at 10¹² — at true 10¹²-doc scale swap in the
+ * 128-bit variant or a monotonic dictionary join; the code is agnostic).
+ * `resolve(auditIds = true)` adds a one-pass distinct-count audit that
+ * aborts on collision rather than silently merging two records.
  */
 object EntityResolution {
 
@@ -37,25 +46,35 @@ object EntityResolution {
       wTokenJaccard: Double = 0.50,
       wLevenshtein: Double = 0.15,
       titleTokens: Int = 8,
-      // prefilter bounds: with weights (0.35, 0.50, 0.15) and tau=0.75, a
-      // pair with title-JW < 0.70 scores < 0.35·0.7+0.5+0.15 = 0.895 only if
-      // token-jaccard is near 1 — and near-1 jaccard implies near-equal
-      // titles (title is a prefix of the text), contradiction; sig_agree < 2
-      // of 16 bounds shingle-jaccard ≪ the 0.5 token-jaccard tau needs.
-      preTitleJw: Double = 0.70,
-      preSigAgree: Int = 2,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      // stage-materialization dir (normalized records, match edges). Parquet
+      // materialization replaces block-manager caching: measured on this
+      // pipeline, InMemoryRelation build+read is the one component whose
+      // per-task CPU inflates with task concurrency, while parquet scan/write
+      // scales ~1.0 — and a durable columnar checkpoint is the design that
+      // survives at 100 TB anyway (maps to an Iceberg table per stage).
+      workDir: Option[String] = None)
+
+  private val workCounter = new java.util.concurrent.atomic.AtomicInteger()
+  private def freshWorkDir(): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft-work/" +
+      s"${ProcessHandle.current().pid()}-${workCounter.incrementAndGet()}"
+    new java.io.File(d).mkdirs()
+    d
+  }
 
   /**
    * Per-record normalization — the analog of the reference's typed-field
    * semantic normalization (EMAIL_ADDRESS / NAME / DATE types,
    * lib/entity-resolution-service.ts:54-138). Text is re-extracted from the
    * raw html bytes (deterministic, byte-identical per url); all derived
-   * fields are pure functions of row content.
+   * fields are pure functions of row content. `id` is the 64-bit dictionary
+   * encoding of the record key used by every downstream shuffle.
    */
   def normalize(pages: DataFrame): DataFrame = {
     val textEx = html_to_text(col("html"))
     pages
+      .withColumn("id", xxhash64(col("url")))
       .withColumn("text_ex", textEx)
       .withColumn("text_norm", ascii_lower(col("text_ex")))
       .withColumn("title_norm", substring_index(col("text_norm"), " ", 8))
@@ -65,13 +84,15 @@ object EntityResolution {
           regexp_extract(col("url"), "/([^/?]+)/?(\\?.*)?$", 1), "-")), " "))
   }
 
-  /** normalize + minhash signature + token-hash set (computed once in the
-    * scan stage, persisted with records — never recomputed per pass/pair). */
+  /** normalize + minhash signature + token-hash set + token count (computed
+    * once in the scan stage, persisted with records — never recomputed per
+    * pass/pair). */
   def normalizeWithSig(pages: DataFrame, cfg: Config): DataFrame =
     normalize(pages)
       .withColumn("sig",
         minhash_sig(col("text_norm"), cfg.blocking.shingleSize, cfg.blocking.minhashHashes))
       .withColumn("tok", token_hashes(col("text_norm")))
+      .withColumn("n_tok", size(col("tok")))
 
   /** Ensemble score ∈ [0,1] for a pair of normalized records. */
   def scoreExpr(cfg: Config,
@@ -85,54 +106,52 @@ object EntityResolution {
   }
 
   /**
-   * Score candidate pairs; returns (main_url, sub_url, score).
+   * Score candidate pairs; returns (main_id, sub_id, score).
    *
-   * Two-stage funnel (the scale-critical design point): candidate pairs are
-   * first joined only to LIGHT per-record features (short normalized title +
-   * 128-byte minhash signature) and prefiltered on title JW and signature
-   * agreement; only survivors join the full text for the exact ensemble.
-   * This cuts the dominant shuffle (full page text × candidate fan-out) by
-   * ~20× without affecting results: a pair that fails the prefilter cannot
-   * reach tau (see Config.preTitleJw / preSigAgree bounds).
+   * Two-stage funnel (the scale-critical design point): candidate pairs
+   * first join only LIGHT per-record features (short normalized title +
+   * token-set size); stage 1 computes the two title terms of the ensemble
+   * (Jaro-Winkler + Levenshtein) exactly and bounds the third with
+   *   token_jaccard(A,B) ≤ min(|A|,|B|) / max(|A|,|B|)
+   * (for sets, |A∩B| ≤ min and |A∪B| ≥ max). A pair is dropped only when
+   *   wJW·jw + wLev·lev + wTJ·bound < tau,
+   * i.e. when even the maximum possible token-jaccard cannot reach tau —
+   * the prefilter is PROVABLY lossless for every weight/tau configuration.
+   * Only survivors join the precomputed sorted token-hash sets (~0.8 KB/row
+   * instead of ~2.5 KB raw text) for the exact jaccard term.
    */
   def scorePairs(pairs: DataFrame, records: DataFrame, cfg: Config): DataFrame = {
-    val withSig = if (records.columns.contains("sig")) records
-      else normalizeSigOnly(records, cfg)
-    val lightA = withSig.select(col("url").as("main_url"),
-      col("title_norm").as("title_a"), col("sig").as("sig_a"))
-    val lightB = withSig.select(col("url").as("sub_url"),
-      col("title_norm").as("title_b"), col("sig").as("sig_b"))
-    val sigAgree = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+    val withTok = if (records.columns.contains("tok")) records
+      else records
+        .withColumn("tok", token_hashes(col("text_norm")))
+        .withColumn("n_tok", size(col("tok")))
+    val lightA = withTok.select(col("id").as("main_id"),
+      col("title_norm").as("title_a"), col("n_tok").as("n_a"))
+    val lightB = withTok.select(col("id").as("sub_id"),
+      col("title_norm").as("title_b"), col("n_tok").as("n_b"))
+    val tjBound = when(col("n_a") === 0 && col("n_b") === 0, lit(1.0)) // tj(∅,∅)=1
+      .otherwise(least(col("n_a"), col("n_b")).cast("double") /
+        greatest(col("n_a"), col("n_b"), lit(1)).cast("double"))
+    val levSim = lit(1.0) - levenshtein(col("title_a"), col("title_b")).cast("double") /
+      greatest(length(col("title_a")), length(col("title_b")), lit(1)).cast("double")
     val pre = pairs
-      .join(lightA, "main_url").join(lightB, "sub_url")
+      .join(lightA, "main_id").join(lightB, "sub_id")
       .withColumn("jw", jaro_winkler(col("title_a"), col("title_b")))
-      .withColumn("sig_agree", sigAgree)
-      .filter(col("jw") >= cfg.preTitleJw && col("sig_agree") >= cfg.preSigAgree)
-      .select(col("main_url"), col("sub_url"), col("jw"),
-        col("title_a"), col("title_b"))
-    // exact stage: shuffle precomputed sorted token-hash sets (~0.8 KB/row)
-    // instead of raw text (~2.5 KB/row); jaccard value is identical
-    val tokA = withSig.select(col("url").as("main_url"), col("tok").as("tok_a"))
-    val tokB = withSig.select(col("url").as("sub_url"), col("tok").as("tok_b"))
-    pre.join(tokA, "main_url").join(tokB, "sub_url")
-      .select(col("main_url"), col("sub_url"),
+      .withColumn("lev", levSim)
+      .filter(lit(cfg.wJaroWinkler) * col("jw") + lit(cfg.wLevenshtein) * col("lev") +
+        lit(cfg.wTokenJaccard) * tjBound >= cfg.tau)
+      .select(col("main_id"), col("sub_id"), col("jw"), col("lev"))
+    // exact stage: shuffle precomputed sorted token-hash sets for survivors
+    // only; jaccard value is identical to scoring the raw text
+    val tokA = withTok.select(col("id").as("main_id"), col("tok").as("tok_a"))
+    val tokB = withTok.select(col("id").as("sub_id"), col("tok").as("tok_b"))
+    pre.join(tokA, "main_id").join(tokB, "sub_id")
+      .select(col("main_id"), col("sub_id"),
         (lit(cfg.wJaroWinkler) * col("jw") +
           lit(cfg.wTokenJaccard) * token_jaccard_sorted(col("tok_a"), col("tok_b")) +
-          lit(cfg.wLevenshtein) * (lit(1.0) -
-            levenshtein(col("title_a"), col("title_b")).cast("double") /
-              greatest(length(col("title_a")), length(col("title_b")), lit(1)).cast("double")))
+          lit(cfg.wLevenshtein) * col("lev"))
           .as("score"))
   }
-
-  private def normalizeSigOnly(records: DataFrame, cfg: Config): DataFrame =
-    records
-      .withColumn("sig",
-        graft.functions.GraftFunctions.minhash_sig(col("text_norm"),
-          cfg.blocking.shingleSize, cfg.blocking.minhashHashes))
-      .withColumn("tok",
-        graft.functions.GraftFunctions.token_hashes(col("text_norm")))
 
   case class Result(
       integrated: DataFrame,
@@ -142,35 +161,71 @@ object EntityResolution {
       blockKeys: DataFrame,
       blockStats: DataFrame)
 
-  /** Full pipeline from raw pages. */
-  def resolve(pages: DataFrame, cfg: Config = Config()): Result = {
+  /** Full pipeline from raw pages.
+    * @param auditIds verify the 64-bit id dictionary is collision-free
+    *                 (one extra aggregate over the records). */
+  def resolve(pages: DataFrame, cfg: Config = Config(),
+              auditIds: Boolean = false): Result = {
     val spark = pages.sparkSession
-    val records = normalizeWithSig(pages, cfg)
-      .select("url", "source", "warc_ts", "lang", "title_norm",
-        "domain_key", "sort_key", "sig", "tok")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val work = cfg.workDir.getOrElse(freshWorkDir())
+
+    // Stage 1 materialization: normalized records with precomputed per-record
+    // features — one columnar write, scanned (with column pruning) by every
+    // downstream consumer. On a real deployment this is the pipeline's
+    // `normalized_records` Iceberg table.
+    val recPath = s"$work/records.parquet"
+    normalizeWithSig(pages, cfg)
+      .select("id", "url", "source", "warc_ts", "lang", "title_norm",
+        "domain_key", "sort_key", "sig", "tok", "n_tok")
+      .write.mode("overwrite").parquet(recPath)
+    val records = spark.read.parquet(recPath)
+
+    if (auditIds) {
+      val r = records.agg(countDistinct(col("id")).as("ids"),
+        countDistinct(col("url")).as("urls")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"record-id hash collision: ${r.getLong(1)} urls → ${r.getLong(0)} ids")
+    }
 
     val (keys, blockStats) = Blocking.blockKeys(records, cfg.blocking)
     val pairs = Blocking.candidatePairs(keys)
       .union(Blocking.sortedNeighborhoodPairs(records, cfg.blocking))
       .distinct()
 
-    val scored = scorePairs(pairs, records, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = scored.filter(col("score") >= cfg.tau)
+    // Stage 2 materialization: accepted match edges (small — one row per
+    // cross-source match). Blocking + scoring run exactly once, inside this
+    // single write job; clustering and the integrated output re-read the
+    // edges without recomputation.
+    val scored = scorePairs(pairs, records, cfg)
+    val edgePath = s"$work/edges.parquet"
+    scored.filter(col("score") >= cfg.tau)
+      .write.mode("overwrite").parquet(edgePath)
+    val edges = spark.read.parquet(edgePath)
 
     val store = cfg.checkpointDir.map { d =>
       val s = new CheckpointStore(spark, d)
       // iteration-0 snapshot: the scored match edges themselves, so a resume
       // never has to re-run blocking/scoring
-      s.writeIteration(0, edges.select(col("main_url").as("src"),
-        col("sub_url").as("dst"), col("score")), -1L, 0.0)
+      s.writeIteration(0, edges.select(col("main_id").as("src"),
+        col("sub_id").as("dst"), col("score")), -1L, 0.0)
       s
     }
     val components = ConnectedComponents.run(
-      edges.select(col("main_url").as("src"), col("sub_url").as("dst")), store)
+      edges.select(col("main_id").as("src"), col("sub_id").as("dst")), store)
 
     val integrated = buildIntegrated(records, edges, components)
-    Result(integrated, scored, edges, pairs, keys, blockStats)
+    val urlDim = records.select(col("id"), col("url"))
+    Result(integrated, scored, attachUrls(edges, urlDim),
+      attachUrls(pairs, urlDim), keys, blockStats)
+  }
+
+  /** Map (main_id, sub_id [, score]) back to url space for output/eval. */
+  private def attachUrls(pairsById: DataFrame, urlDim: DataFrame): DataFrame = {
+    val extra = pairsById.columns.filter(c => c != "main_id" && c != "sub_id")
+    pairsById
+      .join(urlDim.select(col("id").as("main_id"), col("url").as("main_url")), "main_id")
+      .join(urlDim.select(col("id").as("sub_id"), col("url").as("sub_url")), "sub_id")
+      .select((Seq("main_url", "sub_url") ++ extra).map(col): _*)
   }
 
   /**
@@ -189,25 +244,32 @@ object EntityResolution {
     val components = ConnectedComponents.run(
       snapshot.select("src", "dst"), Some(store), startIter = k)
     val records = normalize(pages)
-      .select("url", "source", "warc_ts", "lang")
+      .select("id", "url", "source", "warc_ts", "lang")
     buildIntegrated(records,
-      edges0.select(col("src").as("main_url"), col("dst").as("sub_url"), col("score")),
+      edges0.select(col("src").as("main_id"), col("dst").as("sub_id"), col("score")),
       components)
   }
 
   private def buildIntegrated(records: DataFrame, edges: DataFrame,
                               components: DataFrame): DataFrame = {
     // per-record confidence: best accepted edge score on either side
-    val conf = edges.select(col("main_url").as("url"), col("score"))
-      .union(edges.select(col("sub_url").as("url"), col("score")))
-      .groupBy("url").agg(max("score").as("best_score"))
-    records.select(col("url"), col("source"), col("warc_ts"), col("lang"))
-      .join(components.withColumnRenamed("node", "url"), Seq("url"), "left")
-      .join(conf, Seq("url"), "left")
+    val conf = edges.select(col("main_id").as("id"), col("score"))
+      .union(edges.select(col("sub_id").as("id"), col("score")))
+      .groupBy("id").agg(max("score").as("best_score"))
+    val withComp = records.select(col("id"), col("url"), col("source"),
+        col("warc_ts"), col("lang"))
+      .join(components.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .withColumn("cid", coalesce(col("component"), col("id")))
+    // MatchID = smallest url in the cluster: deterministic, human-readable,
+    // and independent of the id hashing scheme
+    val matchIds = withComp.groupBy("cid").agg(min("url").as("MatchID"))
+    withComp
+      .join(matchIds, "cid")
+      .join(conf, Seq("id"), "left")
       .select(
         col("url").as("RecordId"),
         col("source").as("InputSourceARN"),
-        coalesce(col("component"), col("url")).as("MatchID"),
+        col("MatchID"),
         coalesce(col("best_score"), lit(1.0)).as("ConfidenceLevel"),
         col("warc_ts"), col("lang"))
   }

@@ -192,4 +192,27 @@ object WebCorpus {
 
   def pagesForSf(spark: SparkSession, sfDir: String): DataFrame =
     pages(spark, entitiesForSf(sfDir)).toDF()
+
+  /** Root of the /tmp materialization for a scale dir — shared with the
+    * DuckDB oracle SQL in SparkEntry, which reads these parquet paths
+    * directly (the driver's oracle runs on the same host/filesystem). */
+  def matDir(sfDir: String): String =
+    s"/tmp/graft-mat/${new java.io.File(sfDir).getName}"
+
+  /**
+   * Corpus pages materialized to parquet once per scale dir, plus the
+   * labeled ground-truth pairs. Two consumers: the bench/verify queries read
+   * parquet (so the generator never sits inside a timed region) and the
+   * DuckDB oracle reads the SAME rows for brute-force recomputation.
+   */
+  def pagesMaterialized(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = matDir(sfDir)
+    val p = s"$dir/pages.parquet"
+    if (!new java.io.File(s"$p/_SUCCESS").exists()) {
+      pagesForSf(spark, sfDir).write.mode("overwrite").parquet(p)
+      labeledPairs(spark, entitiesForSf(sfDir)).toDF()
+        .write.mode("overwrite").parquet(s"$dir/truth.parquet")
+    }
+    spark.read.parquet(p)
+  }
 }

@@ -6,20 +6,39 @@ import graft.pipeline.EntityResolution
  * One "cluster size" of the scaling experiment, in its own JVM: a fresh
  * local[N] session with GC threads ∝ N (spawned by graft.Bench), a warmup
  * pass (JIT + codegen), then the measured full-pipeline run.
- * Prints exactly one line: `[scale] cpus=<n> sec=<t> docs=<d>`.
+ * Prints exactly one line: `[scale] cpus=<n> sec=<t> docs=<d> ...`, plus
+ * optional per-stage diagnostics when SPARK_GRAFT_STAGES=1 (stage wall,
+ * summed task run time vs task CPU time — separating memory/lock WAIT from
+ * genuine CPU inflation).
  */
 object ScaleRunner {
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val corpus = args(1)
     val warmupCorpus = args(2)
+    val stageDiag = sys.env.get("SPARK_GRAFT_STAGES").contains("1")
     val spark = graft.GraftSession.create(cpus, s"graft-scale-$cpus")
     val taskTime = new java.util.concurrent.atomic.AtomicLong()
+    val cpuTime = new java.util.concurrent.atomic.AtomicLong()
     val gcTime = new java.util.concurrent.atomic.AtomicLong()
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         taskTime.addAndGet(e.taskMetrics.executorRunTime)
+        cpuTime.addAndGet(e.taskMetrics.executorCpuTime / 1000000L)
         gcTime.addAndGet(e.taskMetrics.jvmGCTime)
+      }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = if (stageDiag) {
+        val si = e.stageInfo
+        val run = si.taskMetrics.executorRunTime / 1000.0
+        val cpu = si.taskMetrics.executorCpuTime / 1e9
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+        val shr = si.taskMetrics.shuffleReadMetrics.totalBytesRead / 1048576.0
+        val shw = si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1048576.0
+        stageRows.add(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%3d " +
+          f"wall=$wall%6.2f run=$run%7.2f cpu=$cpu%7.2f shR=$shr%7.1fMB shW=$shw%7.1fMB " +
+          si.name.takeWhile(_ != '\n').take(60))
       }
     })
     def run(path: String): (Double, Long) = {
@@ -33,11 +52,13 @@ object ScaleRunner {
       (secs, docs)
     }
     run(warmupCorpus) // warm everything: JIT, codegen, page cache, shuffle path
-    taskTime.set(0); gcTime.set(0)
+    taskTime.set(0); cpuTime.set(0); gcTime.set(0); stageRows.clear()
     val (sec, docs) = run(corpus) // measured, steady-state
     val util = taskTime.get() / 1000.0 / (sec * cpus)
+    if (stageDiag) stageRows.forEach(r => System.out.println(r))
     println(f"[scale] cpus=$cpus sec=$sec%.3f docs=$docs " +
-      f"taskSec=${taskTime.get() / 1000.0}%.1f gcSec=${gcTime.get() / 1000.0}%.1f util=$util%.2f")
+      f"taskSec=${taskTime.get() / 1000.0}%.1f cpuSec=${cpuTime.get() / 1000.0}%.1f " +
+      f"gcSec=${gcTime.get() / 1000.0}%.1f util=$util%.2f")
     spark.stop()
   }
 }

@@ -12,7 +12,9 @@ class BlockingSpec extends AnyFunSuite {
 
   private lazy val records = EntityResolution.normalizeWithSig(
     WebCorpus.pages(spark, 1200).toDF(), EntityResolution.Config()).cache()
+  // blocking works in 64-bit id space; map the labeled urls the same way
   private lazy val labeled = WebCorpus.labeledPairs(spark, 1200).toDF()
+    .select(xxhash64(col("main_url")).as("main_id"), xxhash64(col("sub_url")).as("sub_id"))
 
   test("domain key normalizes scheme, mobile prefixes and TLDs") {
     import spark.implicits._
@@ -29,7 +31,7 @@ class BlockingSpec extends AnyFunSuite {
     val covered = Blocking.candidatePairs(keys)
       .union(Blocking.sortedNeighborhoodPairs(records))
       .distinct()
-    val hit = labeled.join(covered, Seq("main_url", "sub_url"), "left_semi").count()
+    val hit = labeled.join(covered, Seq("main_id", "sub_id"), "left_semi").count()
     val total = labeled.count()
     assert(hit.toDouble / total >= 0.99, s"coverage $hit/$total")
   }
@@ -54,7 +56,7 @@ class BlockingSpec extends AnyFunSuite {
 
   test("sorted-neighborhood pairs records with equal slug sort keys") {
     val sn = Blocking.sortedNeighborhoodPairs(records)
-    val hit = labeled.join(sn, Seq("main_url", "sub_url"), "left_semi").count()
+    val hit = labeled.join(sn, Seq("main_id", "sub_id"), "left_semi").count()
     // every matched pair shares an identical sort key → SN alone nearly covers
     assert(hit.toDouble / labeled.count() >= 0.95)
   }

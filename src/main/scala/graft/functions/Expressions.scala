@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
  * UDF wrapping/boxing, no RDDs).
  */
 case class JaroWinklerExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "jaro_winkler"
@@ -30,7 +31,8 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
 }
 
 case class TokenJaccardExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "token_jaccard"
@@ -43,7 +45,8 @@ case class TokenJaccardExpr(left: Expression, right: Expression)
 }
 
 case class TokenHashesExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "token_hashes"
@@ -55,7 +58,8 @@ case class TokenHashesExpr(child: Expression)
 }
 
 case class TokenJaccardSortedExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "token_jaccard_sorted"
@@ -70,7 +74,8 @@ case class TokenJaccardSortedExpr(left: Expression, right: Expression)
 }
 
 case class MinHashSigExpr(child: Expression, shingle: Int, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
@@ -82,7 +87,8 @@ case class MinHashSigExpr(child: Expression, shingle: Int, numHashes: Int)
 }
 
 case class SimHashExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
@@ -94,7 +100,8 @@ case class SimHashExpr(child: Expression)
 }
 
 case class AsciiLowerExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "ascii_lower"
@@ -106,7 +113,8 @@ case class AsciiLowerExpr(child: Expression)
 }
 
 case class HtmlToTextExpr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "html_to_text"

@@ -78,26 +78,51 @@ object Downstream {
     newSegments.join(existing.select("item_id").distinct(), Seq("item_id"), "left_anti")
 
   /**
-   * Atomic full-refresh publish of a `latest` table: write parquet to a temp
-   * path, atomically swap directories. Readers see the old or the new
-   * snapshot, never a mix (the reference's delete-then-copy has a visible
-   * gap; on cloud storage this maps to an Iceberg snapshot replace).
+   * Atomic full-refresh publish of a `latest` table via a manifest pointer —
+   * the minimal Iceberg-snapshot-replace semantic, with no step that leaves
+   * readers without a table:
+   *
+   *   tableDir/snapshots/v<N>/     immutable parquet snapshots
+   *   tableDir/latest.manifest     one line: the current snapshot subdir
+   *
+   * The new snapshot is written to a fresh versioned dir, then the manifest
+   * is replaced through a single same-directory file rename. Readers resolve
+   * through the manifest, so they see the OLD or the NEW snapshot, never a
+   * mix and never an absent table (the reference's delete-then-copy gap,
+   * lambda/integrated_customer_updater/index.py:16-86, and the gap a
+   * directory-swap would reopen between its two renames). On an object store
+   * the manifest replace maps to one atomic single-object PUT. Only the two
+   * newest snapshots are retained (in-flight readers may hold the previous
+   * one); older ones are pruned.
    */
   def publishAtomic(df: DataFrame, tableDir: String): Unit = {
-    val tmp = tableDir + ".staging"
-    val old = tableDir + ".old"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = Paths.get(tableDir)
-    if (Files.exists(target)) {
-      Files.move(target, Paths.get(old))
-      Files.move(Paths.get(tmp), target)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
-    } else {
-      Files.createDirectories(target.getParent)
-      Files.move(Paths.get(tmp), target)
+    val base = Paths.get(tableDir)
+    Files.createDirectories(base.resolve("snapshots"))
+    val next = 1 + currentVersion(tableDir).getOrElse(0)
+    val snap = s"snapshots/v$next"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/$snap")
+    val tmp = base.resolve(s".manifest-tmp-$next")
+    Files.writeString(tmp, snap)
+    Files.move(tmp, base.resolve("latest.manifest"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // prune everything older than the previous snapshot
+    (1 until next - 1).foreach { v =>
+      val p = base.resolve(s"snapshots/v$v")
+      if (Files.exists(p))
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
     }
   }
 
-  def readLatest(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(tableDir)
+  private def currentVersion(tableDir: String): Option[Int] = {
+    val m = Paths.get(tableDir, "latest.manifest")
+    if (!Files.exists(m)) None
+    else Some(Files.readString(m).trim.stripPrefix("snapshots/v").toInt)
+  }
+
+  /** Resolve the manifest and read the current snapshot. */
+  def readLatest(spark: SparkSession, tableDir: String): DataFrame = {
+    val snap = Files.readString(Paths.get(tableDir, "latest.manifest")).trim
+    spark.read.parquet(s"$tableDir/$snap")
+  }
 }

@@ -54,11 +54,29 @@ object ScaleRunner {
     run(warmupCorpus) // warm everything: JIT, codegen, page cache, shuffle path
     taskTime.set(0); cpuTime.set(0); gcTime.set(0); stageRows.clear()
     val (sec, docs) = run(corpus) // measured, steady-state
-    val util = taskTime.get() / 1000.0 / (sec * cpus)
+    val measuredTask = taskTime.get()
+    val measuredCpu = cpuTime.get()
+    val measuredGc = gcTime.get()
+    val util = measuredTask / 1000.0 / (sec * cpus)
     if (stageDiag) stageRows.forEach(r => System.out.println(r))
+    // Frequency calibration: a fixed pure-CPU probe (no shuffle, no alloc)
+    // run at this level's concurrency. On this host the per-core clock drops
+    // as more cores go active (turbo), so thread-count stand-ins for N vs 4N
+    // EXECUTOR clusters under-measure pipeline scaling by exactly this
+    // ratio — separate machines run at the same clock. Bench reports raw
+    // efficiency AND the probe-normalized value, with the probe numbers.
+    import org.apache.spark.sql.functions._
+    def probe(): Double = {
+      val c0 = taskTime.get()
+      spark.range(0, 600000000L, 1, cpus * 4)
+        .select(sum(pmod(xxhash64(xxhash64(xxhash64(col("id")))), lit(1000000007L)))).head()
+      (taskTime.get() - c0) / 1000.0
+    }
+    probe() // JIT warm
+    val calCoreSec = (1 to 3).map(_ => probe()).min
     println(f"[scale] cpus=$cpus sec=$sec%.3f docs=$docs " +
-      f"taskSec=${taskTime.get() / 1000.0}%.1f cpuSec=${cpuTime.get() / 1000.0}%.1f " +
-      f"gcSec=${gcTime.get() / 1000.0}%.1f util=$util%.2f")
+      f"taskSec=${measuredTask / 1000.0}%.1f cpuSec=${measuredCpu / 1000.0}%.1f " +
+      f"gcSec=${measuredGc / 1000.0}%.1f util=$util%.2f calCoreSec=$calCoreSec%.2f")
     spark.stop()
   }
 }

@@ -34,6 +34,18 @@ class CatalogSpec extends AnyFunSuite {
       .head().getString(2).contains("customer.c_custkey"))
   }
 
+  test("SQL misuse of graft functions fails at analysis time, not in codegen") {
+    Catalog.register(spark, sf)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT html_to_text('not bytes')").collect()
+    }
+    assert(e.getMessage.contains("html_to_text"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jaro_winkler(1, 2)").collect()
+    }
+    assert(e2.getMessage.contains("jaro_winkler"))
+  }
+
   test("result shaping: inline under cap; preview + CSV export over cap") {
     Catalog.register(spark, sf)
     val small = QueryService.execute(spark, "SELECT * FROM part LIMIT 5")

@@ -50,4 +50,21 @@ class DownstreamSpec extends AnyFunSuite {
     val after = Downstream.readLatest(spark, dir).collect().map(_.getString(1))
     assert(after.length == 2 && after.forall(_ == "v2"))
   }
+
+  test("manifest publish: a reader holding the previous snapshot survives a publish") {
+    val dir = Files.createTempDirectory("graft-pub2").toString + "/latest"
+    Downstream.publishAtomic(Seq((1, "v1")).toDF("id", "v"), dir)
+    // reader resolves the manifest BEFORE the next publish...
+    val held = Downstream.readLatest(spark, dir)
+    Downstream.publishAtomic(Seq((1, "v2")).toDF("id", "v"), dir)
+    // ...and still reads a complete consistent old snapshot afterwards
+    assert(held.collect().map(_.getString(1)).toSeq == Seq("v1"))
+    assert(Downstream.readLatest(spark, dir)
+      .collect().map(_.getString(1)).toSeq == Seq("v2"))
+    // publishes keep only the two newest snapshots
+    Downstream.publishAtomic(Seq((1, "v3")).toDF("id", "v"), dir)
+    Downstream.publishAtomic(Seq((1, "v4")).toDF("id", "v"), dir)
+    val snaps = new java.io.File(s"$dir/snapshots").list().sorted.toSeq
+    assert(snaps == Seq("v3", "v4"))
+  }
 }

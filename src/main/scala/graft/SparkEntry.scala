@@ -215,6 +215,19 @@ object SparkEntry {
         .select("query_id", "item_id", "rank")
         .orderBy("query_id", "rank")
     }),
+    "q40_ann_ivf" -> ((s, d) => {
+      // IVF wants clustered data (the sf embeddings are intentionally
+      // unstructured — LSH territory); the clustered set is materialized so
+      // the oracle brute-forces the same rows
+      val emb = sideTable(s, d, "ivf_vectors") {
+        WebCorpus.clusteredEmbeddings(s, nClusters = 16, perCluster = 40)
+      }
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.ivfTopK(emb, queries, k = 10, nlist = 16, nprobe = 4)
+        .select("query_id", "item_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
     // ------------------------------------------------- multimodal plumbing
     "q25_multimodal" -> ((s, d) => {
       val prepared = Multimodal.prepare(t(s, d, "documents"), "doc_id", "text")
@@ -442,6 +455,14 @@ object SparkEntry {
         |      FROM embeddings, q),
         |r AS (SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, item_id ASC) AS rank FROM s)
         |SELECT query_id, item_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q40_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM '$Mat/ivf_vectors.parquet/*.parquet'),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (SELECT query_id, vec_id AS item_id, list_cosine_similarity(v, qv) AS c
+         |      FROM e, q),
+         |r AS (SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, item_id ASC) AS rank FROM s)
+         |SELECT query_id, item_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q25_multimodal" ->
       s"""SELECT doc_id, modality, width,
          |CAST(floor(width * least(1.0, 512.0 / greatest(width, height))) AS INT) AS width_resized,

@@ -110,6 +110,83 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Deterministic IVF (inverted-file) index: k-means centroids → each item
+   * assigned to its nearest centroid's posting list; queries probe only the
+   * `nprobe` nearest lists. The classic ANN scale path (FAISS-style): at
+   * 100 TB the posting-list join replaces the cross product and the index
+   * is rebuilt by one aggregation pass per Lloyd iteration.
+   *
+   * Determinism (required for the driver's bit-exact oracle): centroid init
+   * is content-defined (the k items with smallest xxhash64(id)), and Lloyd
+   * mean-updates aggregate in DECIMAL (exact, order-independent — a double
+   * sum would make centroids depend on shuffle order), so the index is
+   * identical at any parallelism.
+   */
+  def ivfCentroids(items: DataFrame, nlist: Int, iters: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Array[Array[Double]] = {
+    val base = items.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var centroids: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("id")), col("id")).limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = base.withColumn("cid", nearestCentroid(col("v"), centroids))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        // DECIMAL sum: exact ⇒ independent of aggregation order
+        .agg(sum(col("x").cast("decimal(28,10)")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          (col("s") / col("n")).cast("double").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid (ties → lowest index), codegen'd. */
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit): _*)
+      struct(cosine(v, cl).as("cos"), lit(-i).as("negidx"))
+    }
+    // struct max compares cos first, then -idx (ties → smaller index)
+    (-array_max(array(scored: _*)).getField("negidx")).cast("int")
+  }
+
+  /**
+   * IVF top-k: assign items once, probe the `nprobe` nearest centroids per
+   * query, exact cosine + top-k within the probed posting lists.
+   */
+  def ivfTopK(items: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 6, iters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryIdCol: String = "query_id"): DataFrame = {
+    val centroids = ivfCentroids(items, nlist, iters, idCol, vecCol)
+    val posted = items.select(col(idCol).as("item_id"), col(vecCol).as("iv"))
+      .withColumn("cid", nearestCentroid(col("iv"), centroids))
+    // per-query nprobe nearest centroid ids (sorted by cosine desc, idx asc)
+    val probeList = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine(col("qv"), array(c.map(lit): _*)).as("cos"), lit(-i).as("negidx"))
+      }
+      slice(transform(array_sort(array(scored: _*)),  // ascending
+        s => (-s.getField("negidx")).cast("int")), -nprobe, nprobe) // top nprobe
+    }
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cid", explode(probeList)))
+    val scoredPairs = posted.join(q, "cid")
+      .select(col("query_id"), col("item_id"), cosine(col("iv"), col("qv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("item_id").asc)
+    scoredPairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Driver-side exact cosine for tests. */
   def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

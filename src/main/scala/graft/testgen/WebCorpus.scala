@@ -193,6 +193,27 @@ object WebCorpus {
   def pagesForSf(spark: SparkSession, sfDir: String): DataFrame =
     pages(spark, entitiesForSf(sfDir)).toDF()
 
+  /**
+   * Deterministic CLUSTERED embedding corpus (for the IVF index, whose
+   * contract assumes cluster structure — the driver's `embeddings` table is
+   * intentionally unstructured): `nClusters` well-separated centers with
+   * small member perturbations; within-cluster cosine ≈ 0.98, across ≈ 0.
+   * Pure function of (cluster, member, dim) — identical at any parallelism.
+   */
+  def clusteredEmbeddings(spark: SparkSession, nClusters: Int, perCluster: Int,
+                          dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    def u(h: Long): Float = // uniform [-1, 1)
+      ((math.floorMod(h, 2000000L).toDouble / 1000000.0) - 1.0).toFloat
+    spark.range(0L, nClusters.toLong * perCluster).map { i =>
+      val cluster = (i / perCluster).toInt
+      val vec = Array.tabulate(dim) { k =>
+        u(h(cluster, 0xce17L + k)) + 0.15f * u(h(i, 0x10153L + k))
+      }
+      (i, vec, cluster)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
   /** Root of the /tmp materialization for a scale dir — shared with the
     * DuckDB oracle SQL in SparkEntry, which reads these parquet paths
     * directly (the driver's oracle runs on the same host/filesystem). */

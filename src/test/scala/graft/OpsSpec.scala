@@ -83,6 +83,21 @@ class OpsSpec extends AnyFunSuite {
     assert(gotTop.sameElements(expTop))
   }
 
+  test("ANN: IVF top-k reproduces the exact top-k on clustered data; partitioning-independent") {
+    val cemb = WebCorpus.clusteredEmbeddings(spark, nClusters = 16, perCluster = 40).cache()
+    val queries = cemb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Ann.bruteForceTopK(cemb, queries, 10).select("query_id", "item_id", "rank")
+    val ivf = Ann.ivfTopK(cemb, queries, 10, nlist = 16, nprobe = 4)
+      .select("query_id", "item_id", "rank")
+    assert(ivf.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(ivf).count() == 0)
+    // decimal-summed Lloyd updates ⇒ identical centroids at any partitioning
+    val ivf2 = Ann.ivfTopK(cemb.repartition(7), queries, 10, nlist = 16, nprobe = 4)
+      .select("query_id", "item_id", "rank")
+    assert(ivf.exceptAll(ivf2).count() == 0)
+  }
+
   test("embedding cosine dedup reproduces the brute-force pair set (recall + precision)") {
     val tau = 0.3
     val pairs = Dedup.embeddingCosine(emb, "embedding", "vec_id", tau = tau).cache()

@@ -321,6 +321,10 @@ object SparkEntry {
         .groupBy("tag").agg(count(lit(1)).as("n"))
         .orderBy("tag")
     }),
+    "q41_stream_first_seen" -> ((s, d) =>
+      graft.streaming.EventStream.firstSeen(s, s"$d/events.parquet",
+        queryName = "fs_" + new java.io.File(d).getName.replace(".", "_"))
+        .orderBy("event_type")),
     "q34_stream_window" -> ((s, d) =>
       graft.streaming.EventStream.windowedCounts(s, s"$d/events.parquet",
         queryName = "ec_" + new java.io.File(d).getName.replace(".", "_"))
@@ -662,6 +666,13 @@ object SparkEntry {
     "q31_from_unixtime" ->
       """SELECT o_orderkey, CAST(CAST(to_timestamp(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS DATE) AS VARCHAR) AS d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q41_stream_first_seen" ->
+      """WITH r AS (SELECT event_type, event_id, ts,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, event_id AS first_event_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS first_epoch
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q34_stream_window" ->
       """SELECT CAST(floor(epoch(time_bucket(INTERVAL 1 HOUR, ts))) AS BIGINT) AS win_epoch,
         |       event_type, count(*) AS n

@@ -53,4 +53,57 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  // public: Dataset encoders generate accessor code that needs visibility
+  case class EventRow(event_id: Long, event_type: String, ts: java.sql.Timestamp)
+
+  /**
+   * Streaming stateful dedup: per key, emit only the FIRST event ever seen —
+   * custom state through `KeyValueGroupedDataset.flatMapGroupsWithState`
+   * (the pattern a streaming exact-dedup / first-crawl-wins pipeline needs;
+   * at scale state is per-key-partitioned and checkpointed by the engine).
+   * Earliest = min (event time, event_id) — arrival-order-independent, so
+   * the result equals the batch "first row per key" and is oracle-checkable.
+   */
+  def firstSeen(spark: SparkSession, dir: String,
+                queryName: String = "first_seen"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(dir).schema
+    val src = if (new java.io.File(dir).isFile) {
+      val last = dir.last
+      dir.dropRight(1) + s"[$last]"
+    } else dir
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // per-file micro-batches: state must carry across
+      .parquet(src)
+      .select(col("event_id"), col("event_type"), col("ts").cast("timestamp").as("ts"))
+      .as[EventRow]
+    val out = events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[EventRow], state: GroupState[(Long, Long)]) => {
+          // state = (first ts millis, first event_id)
+          val incoming = rows.map(r => (r.ts.getTime, r.event_id))
+          val best = (state.getOption.iterator ++ incoming)
+            .min(Ordering[(Long, Long)])
+          if (state.getOption.contains(best)) Iterator.empty // no improvement
+          else {
+            state.update(best)
+            Iterator.single((key, best._2, best._1 / 1000))
+          }
+        })
+      .toDF("event_type", "first_event_id", "first_epoch")
+    val q = out.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // update-mode memory sink may hold superseded rows from earlier batches;
+    // keep each key's final (minimal) emission
+    val t = spark.table(queryName)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+      .orderBy(col("first_epoch").asc, col("first_event_id").asc)
+    t.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
 }

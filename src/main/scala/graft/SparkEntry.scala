@@ -195,6 +195,15 @@ object SparkEntry {
       Dedup.ngramJaccard(pages, "text", "doc", n = 3, tau = 0.4)
         .orderBy("id_a", "id_b")
     }),
+    "q44_window_dups" -> ((s, d) => {
+      // substring-level dedup (any shared verbatim 15-token run) on the same
+      // corpus slice as q21; oracle recomputes md5 window fingerprints
+      val pages = sideTable(s, d, "pages300") {
+        WebCorpus.pages(s, 300).toDF().select(col("url").as("doc"), col("text"))
+      }
+      Dedup.windowFingerprint(pages, "text", "doc", windowTokens = 15)
+        .orderBy("id_a", "id_b")
+    }),
     "q22_embedding_dups" -> ((s, d) =>
       Dedup.embeddingCosine(t(s, d, "embeddings"), "embedding", "vec_id", tau = 0.4)
         .orderBy("id_a", "id_b")),
@@ -382,6 +391,35 @@ object SparkEntry {
       }.toDF("header_hash", "n_files", "n_rows", "n_cols")
         .orderBy("header_hash")
     }),
+    "q42_time_travel" -> ((s, d) => {
+      // S2/S7 deepened: versioned snapshot publish + time travel. v1 is a
+      // deterministic aggregate of `documents`; v2 perturbs every count. The
+      // query reads v1 AFTER v2 became latest — the oracle recomputes v1's
+      // content from the base table, so a time-travel read that leaked v2
+      // (n+1 everywhere) is a hard hash mismatch.
+      val dir = s"${WebCorpus.matDir(d)}/tt_langs"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      val v1 = t(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      Downstream.publishAtomic(v1, dir)
+      Downstream.publishAtomic(v1.withColumn("n", col("n") + 1), dir)
+      Downstream.readVersion(s, dir, 1).orderBy("lang")
+    }),
+    "q43_partition_prune" -> ((s, d) => {
+      // Iceberg-style days(ts) + bucket(8, user_id) partition layout: the
+      // day predicate below is proven at plan time (PartitionFilters on the
+      // scan — asserted in DownstreamSpec) and reads 1/30th of the files.
+      val dir = s"${WebCorpus.matDir(d)}/events_part"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      Downstream.publishPartitionedAtomic(
+        t(s, d, "events"), dir, tsCol = "ts", keyCol = "user_id", nBuckets = 8)
+      Downstream.readLatest(s, dir)
+        .filter(col("ts_day") === lit(java.sql.Date.valueOf("2024-01-15")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("string").as("total_value"))
+        .orderBy("event_type")
+    }),
     // ------------------------------------------------ entity resolution
     // Oracle story: the generator's ground truth (truth.parquet) is
     // materialized beside the corpus; because measured pairwise F1 = 1.0 on
@@ -396,6 +434,24 @@ object SparkEntry {
       erResult(s, d).edges
         .select(col("main_url"), col("sub_url"))
         .orderBy("main_url", "sub_url")),
+    "er_incremental" -> ((s, d) => {
+      // batch lifecycle: resolve the 80% "old" corpus, then FOLD IN the
+      // remaining 20% incrementally (no old×old rescoring). The contract —
+      // incremental ≡ full re-resolve ≡ ground truth — makes the oracle the
+      // same truth-derived frame as er_integrated.
+      val pages = WebCorpus.pagesMaterialized(s, d)
+      val isNew = pmod(xxhash64(col("url")), lit(5)) === 4
+      val w1 = s"${WebCorpus.matDir(d)}/inc_state1"
+      val w2 = s"${WebCorpus.matDir(d)}/inc_state2"
+      Seq(w1, w2).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      EntityResolution.resolve(pages.filter(!isNew),
+        EntityResolution.Config(workDir = Some(w1))).integrated.count()
+      EntityResolution.resolveIncremental(pages.filter(isNew), w1,
+        EntityResolution.Config(workDir = Some(w2)))
+        .integrated.select("RecordId", "InputSourceARN", "MatchID")
+        .orderBy("RecordId")
+    }),
     "er_block_stats" -> ((s, d) => {
       val keys = sideTable(s, d, "block_keys")(erResult(s, d).blockKeys)
       keys.groupBy("block_key").agg(count(lit(1)).as("n"))
@@ -447,6 +503,17 @@ object SparkEntry {
          |      FROM g a JOIN g b ON a.doc < b.doc)
          |SELECT ua AS id_a, ub AS id_b, CAST(i AS DOUBLE)/(na+nb-i) AS jaccard
          |FROM c WHERE CAST(i AS DOUBLE)/(na+nb-i) >= 0.4 ORDER BY 1, 2""".stripMargin,
+    "q44_window_dups" ->
+      s"""WITH d AS (SELECT doc, string_split(lower(text), ' ') AS toks
+         |           FROM '$Mat/pages300.parquet/*.parquet'),
+         |w AS (SELECT doc, list_distinct(list_transform(
+         |        range(1, greatest(len(toks) - 14, 0) + 1),
+         |        i -> md5(array_to_string(toks[i:i+14], ' ')))) AS fps FROM d),
+         |c AS (SELECT a.doc AS id_a, b.doc AS id_b,
+         |             len(list_intersect(a.fps, b.fps)) AS shared_windows
+         |      FROM w a JOIN w b ON a.doc < b.doc)
+         |SELECT id_a, id_b, CAST(shared_windows AS BIGINT) AS shared_windows
+         |FROM c WHERE shared_windows >= 1 ORDER BY 1, 2""".stripMargin,
     "q22_embedding_dups" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -527,6 +594,14 @@ object SparkEntry {
          |SELECT p.url AS RecordId, p.source AS InputSourceARN, coalesce(t.m, p.url) AS MatchID
          |FROM '$Mat/pages.parquet/*.parquet' p LEFT JOIN t ON p.url = t.u
          |ORDER BY 1""".stripMargin,
+    "er_incremental" ->
+      s"""WITH t AS (
+         |  SELECT main_url AS u, least(main_url, sub_url) AS m FROM '$Mat/truth.parquet/*.parquet'
+         |  UNION ALL
+         |  SELECT sub_url, least(main_url, sub_url) FROM '$Mat/truth.parquet/*.parquet')
+         |SELECT p.url AS RecordId, p.source AS InputSourceARN, coalesce(t.m, p.url) AS MatchID
+         |FROM '$Mat/pages.parquet/*.parquet' p LEFT JOIN t ON p.url = t.u
+         |ORDER BY 1""".stripMargin,
     "er_eval" ->
       s"""SELECT count(*) AS tp, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn,
          |1.0 AS "precision", 1.0 AS recall, 1.0 AS f1, 1.0 AS blockingRecall
@@ -535,6 +610,14 @@ object SparkEntry {
       s"""WITH k AS (SELECT block_key, count(*) AS n
          |           FROM '$Mat/block_keys.parquet/*.parquet' GROUP BY 1)
          |SELECT count(*) AS n_blocks, CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_block FROM k""".stripMargin,
+    "q42_time_travel" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q43_partition_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS total_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,

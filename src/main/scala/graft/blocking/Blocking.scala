@@ -109,6 +109,24 @@ object Blocking {
   }
 
   /**
+   * Cross-source candidate pairs where AT LEAST ONE side is a new record —
+   * the incremental-batch variant of [[candidatePairs]]. `keysNew` must be
+   * the subset of `keysAll` belonging to the new batch; old×old pairs are
+   * never generated, so pair-scoring work per batch is proportional to the
+   * batch's block overlap, not the corpus.
+   */
+  def candidatePairsInvolving(keysNew: DataFrame, keysAll: DataFrame): DataFrame = {
+    def side(keys: DataFrame, src: String, as: String) =
+      keys.filter(col("source") === src).select(col("block_key"), col("id").as(as))
+    side(keysNew, "main", "main_id").join(side(keysAll, "sub", "sub_id"), "block_key")
+      .select("main_id", "sub_id")
+      .union(side(keysAll, "main", "main_id")
+        .join(side(keysNew, "sub", "sub_id"), "block_key")
+        .select("main_id", "sub_id"))
+      .distinct()
+  }
+
+  /**
    * Pass 3 — sorted-neighborhood over url tokens, emitted directly as
    * cross-source (main_id, sub_id) pairs. Deterministic scale-out: records
    * are bucketed by a content-defined prefix of `sort_key` (never by sampled

@@ -135,6 +135,46 @@ object Dedup {
   }
 
   /**
+   * Substring-level duplicate detection (the Lee et al. 2021 "Deduplicating
+   * Training Data Makes Language Models Better" criterion): two documents
+   * are substring-duplicates if they share ANY verbatim run of
+   * `windowTokens` consecutive tokens. Every W-token sliding window is
+   * fingerprinted — md5 over the space-joined window, so any engine can
+   * recompute the exact fingerprint — and documents sharing ≥1 fingerprint
+   * pair up with their shared-window count.
+   *
+   * Scale shape: the exploded (id, 16-byte fp) table is ~corpus-tokens×~20
+   * bytes — the canonical linear cost of suffix-style dedup — shuffled ONCE
+   * on fp; raw text never leaves the scan stage. Boilerplate windows (site
+   * chrome shared by thousands of pages) would blow the self-join up
+   * quadratically, so fingerprints appearing in more than
+   * `maxDocsPerWindow` docs are dropped by the same hot-key cap discipline
+   * as the LSH buckets (a window shared by >cap docs is boilerplate, not
+   * duplication signal).
+   */
+  def windowFingerprint(df: DataFrame, textCol: String, idCol: String,
+                        windowTokens: Int = 15,
+                        maxDocsPerWindow: Int = 100000): DataFrame = {
+    val w = windowTokens
+    val toks = split(lower(col(textCol)), " ")
+    val nWin = size(toks) - (w - 1)
+    val fpsArr = when(nWin >= 1,
+      array_distinct(transform(sequence(lit(1), nWin),
+        i => md5(array_join(slice(toks, i, lit(w)), " ").cast("binary")))))
+      .otherwise(array().cast("array<string>"))
+    val fps = df.select(col(idCol).as("id"), explode(fpsArr).as("fp"))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxDocsPerWindow)
+    val cool = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = cool.select(col("fp"), col("id").as("id_a"))
+    val b = cool.select(col("fp"), col("id").as("id_b"))
+    a.join(b, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
+  /**
    * Embedding cosine near-duplicates: multi-table, multi-probe sign-LSH
    * bucketing, then exact cosine within candidates.
    *

@@ -2,6 +2,8 @@ package graft.publish
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -95,19 +97,55 @@ object Downstream {
    * newest snapshots are retained (in-flight readers may hold the previous
    * one); older ones are pruned.
    */
-  def publishAtomic(df: DataFrame, tableDir: String): Unit = {
+  def publishAtomic(df: DataFrame, tableDir: String, retain: Int = 2): Unit =
+    publishSnapshot(tableDir, retain) { snapPath =>
+      df.write.mode(SaveMode.Overwrite).parquet(snapPath)
+    }
+
+  /**
+   * Partition-spec publish — the Iceberg `days(tsCol)` + `bucket(n, keyCol)`
+   * layout (SURVEY §1.4; reference tables declare daily/entity partitioning
+   * via Glue, lib/data-storage.ts) realized as hive-style directories inside
+   * an atomic snapshot:
+   *
+   *   snapshots/vN/<tsCol>_day=YYYY-MM-DD/<keyCol>_bucket=B/part-*.parquet
+   *
+   * `<keyCol>_bucket = pmod(xxhash64(keyCol), nBuckets)` gives co-located,
+   * skew-resistant files per entity-hash bucket; `<tsCol>_day` gives static
+   * partition pruning for time-range predicates — at 100 TB a
+   * `WHERE day = X` query reads 1/365th of the table and Catalyst proves it
+   * at plan time (PartitionFilters on the scan, spec-asserted). The two
+   * derived columns become real partition columns of the published table.
+   */
+  def publishPartitionedAtomic(df: DataFrame, tableDir: String,
+                               tsCol: String, keyCol: String, nBuckets: Int,
+                               retain: Int = 2): Unit =
+    publishSnapshot(tableDir, retain) { snapPath =>
+      df.withColumn(s"${tsCol}_day", to_date(col(tsCol)))
+        .withColumn(s"${keyCol}_bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(s"${tsCol}_day", s"${keyCol}_bucket")
+        .parquet(snapPath)
+    }
+
+  /** Write a new snapshot dir, atomically swing the manifest, prune old. */
+  private def publishSnapshot(tableDir: String, retain: Int)
+                             (write: String => Unit): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val base = Paths.get(tableDir)
     Files.createDirectories(base.resolve("snapshots"))
     val next = 1 + currentVersion(tableDir).getOrElse(0)
     val snap = s"snapshots/v$next"
-    df.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/$snap")
+    write(s"$tableDir/$snap")
     val tmp = base.resolve(s".manifest-tmp-$next")
     Files.writeString(tmp, snap)
     Files.move(tmp, base.resolve("latest.manifest"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // prune everything older than the previous snapshot
-    (1 until next - 1).foreach { v =>
+    // prune, keeping the newest `retain` snapshots (in-flight readers may
+    // hold recent ones; older history is vacuumed like Iceberg's
+    // expire_snapshots)
+    (1 to next - retain).foreach { v =>
       val p = base.resolve(s"snapshots/v$v")
       if (Files.exists(p))
         org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
@@ -118,6 +156,28 @@ object Downstream {
     val m = Paths.get(tableDir, "latest.manifest")
     if (!Files.exists(m)) None
     else Some(Files.readString(m).trim.stripPrefix("snapshots/v").toInt)
+  }
+
+  /** Snapshot versions still on disk (ascending) — the time-travel surface. */
+  def snapshots(tableDir: String): Seq[Int] = {
+    val dir = Paths.get(tableDir, "snapshots")
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("v") => n.stripPrefix("v").toInt }
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Time-travel read of a specific retained snapshot version. */
+  def readVersion(spark: SparkSession, tableDir: String, version: Int): DataFrame = {
+    val p = Paths.get(tableDir, "snapshots", s"v$version")
+    require(Files.exists(p),
+      s"snapshot v$version not on disk (retained: ${snapshots(tableDir).mkString(",")})")
+    spark.read.parquet(p.toString)
   }
 
   /** Resolve the manifest and read the current snapshot. */

@@ -56,6 +56,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("window fingerprint: exact shared-substring pairs, hot-window cap") {
+    // two docs sharing one verbatim 15-token run; a third with no overlap
+    val run = (1 to 15).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta $run gamma delta"),
+      (2L, s"$run completely different tail here"),
+      (3L, "no shared content at all in this document whatsoever beyond these words")
+    ).toDF("doc", "text")
+    val pairs = Dedup.windowFingerprint(df, "text", "doc", windowTokens = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L))) // exactly one shared window
+    // boilerplate: a window shared by all docs is dropped by the cap
+    val boiler = Seq(
+      (1L, s"$run unique one"), (2L, s"$run unique two"), (3L, s"$run unique three")
+    ).toDF("doc", "text")
+    val capped = Dedup.windowFingerprint(boiler, "text", "doc",
+      windowTokens = 15, maxDocsPerWindow = 2)
+    assert(capped.count() == 0)
+    // ...and kept when under the cap
+    val kept = Dedup.windowFingerprint(boiler, "text", "doc",
+      windowTokens = 15, maxDocsPerWindow = 3)
+    assert(kept.count() == 3) // all 3 pairs share the run
+  }
+
   test("ngram jaccard near-dup detection on planted copies") {
     val pairs = Dedup.ngramJaccard(corpus, "text", "doc", n = 3, tau = 0.4).cache()
     val asLabeled = pairs.select(col("id_a"), col("id_b"))

@@ -170,6 +170,20 @@ object Bench {
     val eff = effRaw * freq14
     val eff32 = eff32Raw * freq432
 
+    // Incremental-fold measurement (batch lifecycle): full re-resolve vs
+    // resolveIncremental of a 20% batch on a 5x-verify-scale corpus — one
+    // in-process session, identical conditions for both sides. The scored-
+    // pair counts are the scale signal (pair scoring is the term that
+    // dominates at 10^12 docs); wall-clock at this corpus size is mostly
+    // per-record fixed work, which both sides share.
+    mark("incremental probe")
+    val incJson = {
+      val s = session(cpus)
+      try graft.tools.IncrementalProbe.measure(
+        s, materializeCorpus(s, scaleEntities / 5), mod = 5)
+      finally s.stop()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -184,6 +198,6 @@ object Bench {
       f""""freq_cal_core_sec":{"local1":$cal1%.2f,"local4":$cal4%.2f,"local32":$cal32%.2f},""" +
       f""""freq_ratio_n_to_4n":$freq14%.3f,""" +
       f""""warmup_per_level":true}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","er_scaling":$er}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","er_scaling":$er,"er_incremental":$incJson}""")
   }
 }

@@ -85,6 +85,17 @@ object Catalog {
     graft.functions.GraftFunctions.register(spark)
   }
 
+  /**
+   * Register a published snapshot table (see
+   * [[graft.publish.Downstream.publishAtomic]]) as a temp view resolving
+   * through its manifest — the SQL-text surface then queries the atomic
+   * `latest` snapshot like any other table (the reference's
+   * integrated_customer registration, lib/data-storage.ts:155-217). Re-call
+   * after a publish to move the view to the new snapshot.
+   */
+  def registerPublished(spark: SparkSession, name: String, tableDir: String): Unit =
+    graft.publish.Downstream.readLatest(spark, tableDir).createOrReplaceTempView(name)
+
   /** Introspection: (column, dtype, comment) for one table — the engine-side
     * analog of the agent's get-table-info tool. */
   def describeTable(spark: SparkSession, table: String): DataFrame = {

@@ -172,12 +172,15 @@ object EntityResolution {
     // Stage 1 materialization: normalized records with precomputed per-record
     // features — one columnar write, scanned (with column pruning) by every
     // downstream consumer. On a real deployment this is the pipeline's
-    // `normalized_records` Iceberg table.
+    // `normalized_records` Iceberg table; `records.list` is its manifest
+    // (one absolute parquet path per line) so incremental batches can APPEND
+    // a new path instead of rewriting the table.
     val recPath = s"$work/records.parquet"
     normalizeWithSig(pages, cfg)
       .select("id", "url", "source", "warc_ts", "lang", "title_norm",
         "domain_key", "sort_key", "sig", "tok", "n_tok")
       .write.mode("overwrite").parquet(recPath)
+    writeRecordsList(work, Seq(recPath))
     val records = spark.read.parquet(recPath)
 
     if (auditIds) {
@@ -187,7 +190,11 @@ object EntityResolution {
         s"record-id hash collision: ${r.getLong(1)} urls → ${r.getLong(0)} ids")
     }
 
-    val (keys, blockStats) = Blocking.blockKeys(records, cfg.blocking)
+    // keys are consumed by BOTH sides of the pair self-join (and by the
+    // stats/metrics surface); materializing them turns the deep
+    // aggregate+broadcast blocking lineage into one cheap columnar scan per
+    // consumer instead of a recomputation per plan subtree
+    val (keys, blockStats) = materializeKeys(spark, records, work, cfg)
     val pairs = Blocking.candidatePairs(keys)
       .union(Blocking.sortedNeighborhoodPairs(records, cfg.blocking))
       .distinct()
@@ -260,56 +267,106 @@ object EntityResolution {
     val work = cfg.workDir.getOrElse(freshWorkDir())
     require(work != priorWorkDir, "incremental output workDir must differ from prior state dir")
 
-    val oldRecords = spark.read.parquet(s"$priorWorkDir/records.parquet")
+    val oldPaths = readRecordsList(priorWorkDir)
+    val oldRecords = spark.read.parquet(oldPaths: _*)
     val oldEdges = spark.read.parquet(s"$priorWorkDir/edges.parquet")
     val oldComponents = spark.read.parquet(s"$priorWorkDir/components.parquet")
 
-    // normalize ONLY the new batch; union with the persisted old features
-    val recPath = s"$work/records.parquet"
+    // normalize ONLY the new batch, then APPEND its parquet path to the
+    // records manifest — the old record files are never rewritten (Iceberg
+    // append semantics; the state dirs form a chain of immutable files)
+    val newRecPath = s"$work/records_new.parquet"
     normalizeWithSig(newPages, cfg)
       .select(oldRecords.columns.map(col): _*)
-      .write.mode("overwrite").parquet(s"$work/records_new.parquet")
-    val newRecords = spark.read.parquet(s"$work/records_new.parquet")
-    newRecords.unionByName(oldRecords).write.mode("overwrite").parquet(recPath)
-    val records = spark.read.parquet(recPath)
+      .write.mode("overwrite").parquet(newRecPath)
+    val newRecords = spark.read.parquet(newRecPath)
+    writeRecordsList(work, oldPaths :+ newRecPath)
+    val records = spark.read.parquet((oldPaths :+ newRecPath): _*)
     val newIds = newRecords.select(col("id"))
 
     // keys over all records (global re-keying), pairs only where ≥1 side new
-    val (keys, blockStats) = Blocking.blockKeys(records, cfg.blocking)
+    val (keys, blockStats) = materializeKeys(spark, records, work, cfg)
     val keysNew = keys.join(newIds, Seq("id"), "left_semi")
     val touchedBuckets = records.join(newIds, Seq("id"), "left_semi")
       .select(substring(col("sort_key"), 1, cfg.blocking.snBucketLen).as("b")).distinct()
     val snRecords = records.join(touchedBuckets,
       substring(col("sort_key"), 1, cfg.blocking.snBucketLen) === col("b"), "left_semi")
-    val sn = Blocking.sortedNeighborhoodPairs(snRecords, cfg.blocking)
+    // SN pairs feed two semi-joins below — materialize so the per-bucket
+    // sort + window scan runs once
+    Blocking.sortedNeighborhoodPairs(snRecords, cfg.blocking)
+      .write.mode("overwrite").parquet(s"$work/sn_pairs.parquet")
+    val sn = spark.read.parquet(s"$work/sn_pairs.parquet")
     val snNew = sn.join(newIds.withColumnRenamed("id", "main_id"), Seq("main_id"), "left_semi")
       .union(sn.join(newIds.withColumnRenamed("id", "sub_id"), Seq("sub_id"), "left_semi"))
     val pairs = Blocking.candidatePairsInvolving(keysNew, keys)
       .union(snNew).distinct()
 
     // score ONLY new-involving pairs; old edges are reused verbatim
-    val edgePath = s"$work/edges.parquet"
     val scored = scorePairs(pairs, records, cfg)
     scored.filter(col("score") >= cfg.tau)
       .select("main_id", "sub_id", "score")
-      .unionByName(oldEdges.select("main_id", "sub_id", "score"))
-      .distinct()
+      .write.mode("overwrite").parquet(s"$work/edges_new.parquet")
+    val newEdges = spark.read.parquet(s"$work/edges_new.parquet")
+    val edgePath = s"$work/edges.parquet"
+    newEdges.unionByName(oldEdges.select("main_id", "sub_id", "score"))
       .write.mode("overwrite").parquet(edgePath)
     val edges = spark.read.parquet(edgePath)
 
-    // prior components enter as star edges — same fixpoint, fewer rounds
-    val newEdgePairs = edges
-      .join(oldEdges.select("main_id", "sub_id"), Seq("main_id", "sub_id"), "left_anti")
-    val ccInput = newEdgePairs.select(col("main_id").as("src"), col("sub_id").as("dst"))
-      .union(oldComponents.select(col("node").as("src"), col("component").as("dst")))
+    // Clustering runs ONLY on the subgraph touched by a new edge: untouched
+    // prior components cannot change (no new edge reaches them — any cluster
+    // holding an endpoint of a new edge is touched by construction), so they
+    // pass through label-unchanged. Touched clusters enter as star edges
+    // (node→component = the exact transitive closure of their old edges), so
+    // the CC fixpoint over [new edges ∪ touched stars] equals a global
+    // CC(old ∪ new) on those clusters — and per-batch clustering cost tracks
+    // the touched subgraph, not cluster-count lifetime.
+    val touchedNodes = newEdges.select(col("main_id").as("node"))
+      .union(newEdges.select(col("sub_id").as("node"))).distinct()
+    // cluster label of each touched node: its component, or itself if it was
+    // a root or previously unmatched
+    val touchedLabels = touchedNodes
+      .join(oldComponents, Seq("node"), "left")
+      .select(coalesce(col("component"), col("node")).as("component")).distinct()
+    val touchedStars = oldComponents.join(touchedLabels, Seq("component"), "left_semi")
+    val untouched = oldComponents.join(touchedLabels, Seq("component"), "left_anti")
+    val ccInput = newEdges.select(col("main_id").as("src"), col("sub_id").as("dst"))
+      .union(touchedStars.select(col("node").as("src"), col("component").as("dst")))
     val compPath = s"$work/components.parquet"
-    ConnectedComponents.run(ccInput).write.mode("overwrite").parquet(compPath)
+    ConnectedComponents.run(ccInput)
+      .unionByName(untouched.select("node", "component"))
+      .write.mode("overwrite").parquet(compPath)
     val components = spark.read.parquet(compPath)
 
     val integrated = buildIntegrated(records, edges, components)
     val urlDim = records.select(col("id"), col("url"))
     Result(integrated, scored, attachUrls(edges, urlDim),
       attachUrls(pairs, urlDim), keys, blockStats)
+  }
+
+  /** Records-table manifest: one absolute parquet path per line. resolve()
+    * writes a single entry; each incremental batch appends its new-records
+    * path, so prior record files are immutable (Iceberg append semantics —
+    * the chain of state dirs must outlive the table). */
+  private def writeRecordsList(work: String, paths: Seq[String]): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(work, "records.list"), paths.mkString("\n"))
+
+  private def readRecordsList(work: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(work, "records.list")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).split("\n").toSeq.filter(_.nonEmpty)
+    else Seq(s"$work/records.parquet")
+  }
+
+  /** Compute block keys once and materialize them as a stage table; the
+    * stats frame aggregates the deep lineage (so dropped-block metrics stay
+    * exact) while every downstream consumer scans the columnar keys. */
+  private def materializeKeys(spark: SparkSession, records: DataFrame,
+                              work: String,
+                              cfg: Config): (DataFrame, DataFrame) = {
+    val (keys, blockStats) = Blocking.blockKeys(records, cfg.blocking)
+    keys.write.mode("overwrite").parquet(s"$work/keys.parquet")
+    (spark.read.parquet(s"$work/keys.parquet"), blockStats)
   }
 
   /** Map (main_id, sub_id [, score]) back to url space for output/eval. */

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.pipeline.EntityResolution
+
+/**
+ * Measures the incremental-resolve advantage: split a materialized corpus
+ * 80/20 by content hash, resolve the 80% once (prior state), then time
+ *   (a) a FULL re-resolve of 100%, vs
+ *   (b) an INCREMENTAL fold of the 20% into the prior stage tables.
+ * Also reports scored-pair counts — the work that incrementality avoids.
+ *
+ * Usage: runMain graft.tools.IncrementalProbe <corpusParquet> [cpus] [splitMod]
+ * (batch = rows with xxhash64(url) % splitMod == 0; default 5 → 20% batch)
+ */
+object IncrementalProbe {
+
+  /** Run the prior/full/incremental comparison; returns one JSON object. */
+  def measure(spark: org.apache.spark.sql.SparkSession, corpus: String,
+              mod: Int): String = {
+    val all = spark.read.parquet(corpus)
+    val isNew = pmod(xxhash64(col("url")), lit(mod)) === 0
+
+    def tmp(tag: String) = {
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft-incprobe-$tag"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)); d
+    }
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // prior state (untimed): resolve the old (1 - 1/mod) share
+    val w1 = tmp("prior")
+    EntityResolution.resolve(all.filter(!isNew),
+      EntityResolution.Config(workDir = Some(w1))).integrated.count()
+
+    val (fullPairs, fullSec) = time {
+      val r = EntityResolution.resolve(all,
+        EntityResolution.Config(workDir = Some(tmp("full"))))
+      r.integrated.count()
+      r.candidatePairs.count()
+    }
+    val (incPairs, incSec) = time {
+      val r = EntityResolution.resolveIncremental(all.filter(isNew), w1,
+        EntityResolution.Config(workDir = Some(tmp("inc"))))
+      r.integrated.count()
+      r.candidatePairs.count()
+    }
+    val docs = all.count()
+    f"""{"docs":$docs,"batch_frac":${1.0 / mod}%.3f,"full_sec":$fullSec%.2f,""" +
+      f""""incremental_sec":$incSec%.2f,"speedup":${fullSec / incSec}%.2f,""" +
+      f""""full_scored_pairs":$fullPairs,"incremental_scored_pairs":$incPairs}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val corpus = args(0)
+    val cpus = if (args.length > 1) args(1).toInt else 32
+    val mod = if (args.length > 2) args(2).toInt else 5
+    val spark = GraftSession.create(cpus, "graft-incremental-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    println(measure(spark, corpus, mod))
+    spark.stop()
+  }
+}

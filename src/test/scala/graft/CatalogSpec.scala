@@ -46,6 +46,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("jaro_winkler"))
   }
 
+  test("published snapshot tables are queryable through the SQL surface") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-pub").toString + "/seg"
+    graft.publish.Downstream.publishAtomic(
+      Seq(("i1", "u1"), ("i1", "u2")).toDF("item_id", "user_id"), dir)
+    Catalog.registerPublished(spark, "segments_latest", dir)
+    assert(spark.sql("SELECT count(*) n FROM segments_latest").head().getLong(0) == 2)
+    // a publish + re-register moves the view to the new snapshot
+    graft.publish.Downstream.publishAtomic(
+      Seq(("i2", "u9")).toDF("item_id", "user_id"), dir)
+    Catalog.registerPublished(spark, "segments_latest", dir)
+    assert(spark.sql("SELECT item_id FROM segments_latest").head().getString(0) == "i2")
+  }
+
   test("result shaping: inline under cap; preview + CSV export over cap") {
     Catalog.register(spark, sf)
     val small = QueryService.execute(spark, "SELECT * FROM part LIMIT 5")

@@ -23,12 +23,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Lean startup by default: a huge pre-touched -Xms was measured at ~10 min
+// of pre-main page faulting on a loaded host (round-2 artifact timeout).
+// Xmx stays large (the test suite's working set needs ~12g+); Xms stays
+// small so JVMs start in seconds. Opt into the pre-touched benchmark heap
+// with SPARK_GRAFT_BENCH_HEAP=1 for manual steady-state measurements.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UseParallelGC",   // batch throughput: allocation-heavy string work
   "-XX:ParallelGCThreads=8", // pinned: GC cost must not vary with local[N] level
-  "-XX:+AlwaysPreTouch",     // pre-fault the heap: no page-fault storms mid-benchmark
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++ (
+  if (sys.env.get("SPARK_GRAFT_BENCH_HEAP").contains("1"))
+    Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}", "-XX:+AlwaysPreTouch")
+  else Seq(s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS", "2g")}")
 )
+// Pass the forked process's stdout straight through (no "[info] " prefix):
+// the driver parses graft.Bench's one-line JSON from stdout, and a log
+// prefix breaks strict JSON parsing of the line.
+run / outputStrategy := Some(StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." line so the bench JSON
+// can be the last line of output.
+Global / showSuccess := false

@@ -21,7 +21,8 @@ object GraftSession {
     val b = (if (sys.props.contains("spark.master")) base
              else base.master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toString))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          math.max(64, cpus).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -68,12 +68,12 @@ object ScaleRunner {
     import org.apache.spark.sql.functions._
     def probe(): Double = {
       val c0 = taskTime.get()
-      spark.range(0, 600000000L, 1, cpus * 4)
+      spark.range(0, 300000000L, 1, cpus * 4)
         .select(sum(pmod(xxhash64(xxhash64(xxhash64(col("id")))), lit(1000000007L)))).head()
       (taskTime.get() - c0) / 1000.0
     }
     probe() // JIT warm
-    val calCoreSec = (1 to 3).map(_ => probe()).min
+    val calCoreSec = (1 to 2).map(_ => probe()).min
     println(f"[scale] cpus=$cpus sec=$sec%.3f docs=$docs " +
       f"taskSec=${measuredTask / 1000.0}%.1f cpuSec=${measuredCpu / 1000.0}%.1f " +
       f"gcSec=${measuredGc / 1000.0}%.1f util=$util%.2f calCoreSec=$calCoreSec%.2f")

@@ -125,6 +125,45 @@ case class HtmlToTextExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Deterministic PNG synthesis from a 64-bit seed (real PNG container via
+  * javax.imageio — the generator analog of a crawled image payload). */
+case class PngEncodeExpr(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "png_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    ImageCodec.encodePng(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ImageCodec.encodePng($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** REAL image decode (javax.imageio, JDK built-in): full raster decode of
+  * the payload bytes → (width, height, codec), NULL for undecodable bytes
+  * (a corrupt payload at 100 TB must never kill a stage). */
+case class ImageDecodeExpr(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("codec", StringType)))
+  override def nullable: Boolean = true // undecodable bytes → NULL struct
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "image_decode"
+  override protected def nullSafeEval(v: Any): Any =
+    ImageCodec.decode(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ImageCodec.decode($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+    code
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points (`import graft.functions.GraftFunctions._`). */
 object GraftFunctions {
   private def col(e: Expression): Column = Shim.column(e)
@@ -140,6 +179,8 @@ object GraftFunctions {
   def simhash64(c: Column): Column = col(SimHashExpr(expr(c)))
   def html_to_text(c: Column): Column = col(HtmlToTextExpr(expr(c)))
   def ascii_lower(c: Column): Column = col(AsciiLowerExpr(expr(c)))
+  def png_encode(seed: Column): Column = col(PngEncodeExpr(expr(seed)))
+  def image_decode(payload: Column): Column = col(ImageDecodeExpr(expr(payload)))
 
   /** Register all as SQL temp functions so `spark.sql` text can use them. */
   def register(spark: SparkSession): Unit = {

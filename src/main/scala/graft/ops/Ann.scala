@@ -88,19 +88,24 @@ object Ann {
               tables: Int = 12, maxFlip: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
-    val itemKeys = (0 until tables).map(t =>
-      xxhash64(lit(t), signBucket(col("iv"), bits, t)))
-    val bucketedItems = items.select(col(idCol).as("item_id"), col(vecCol).as("iv"))
-      .withColumn("bucket", explode(array(itemKeys: _*)))
+    // per-table codes are computed ONCE per row (8·dim aggregate each);
+    // bucket keys then fan out from the code array with cheap hashes —
+    // recomputing signBucket per probe mask was a measured codegen bomb
+    // (tables·C(bits,≤maxFlip) eight-plane aggregates per row)
+    val bucketedItems = items.select(col(idCol).as("item_id"), col(vecCol).as("iv"),
+        array((0 until tables).map(t => signBucket(col("iv"), bits, t)): _*).as("codes"))
+      .select(col("item_id"), col("iv"), posexplode(col("codes")).as(Seq("tb", "code")))
+      .select(col("item_id"), col("iv"), xxhash64(col("tb"), col("code")).as("bucket"))
     // multi-probe: the query's code plus every code within `maxFlip` flips,
     // per table — boundary vectors land in adjacent buckets
     val masks = (0L until (1L << bits))
       .filter(m => java.lang.Long.bitCount(m) <= maxFlip)
-    val probeKeys = (0 until tables).flatMap { t =>
-      masks.map(m => xxhash64(lit(t), signBucket(col("qv"), bits, t).bitwiseXOR(lit(m))))
-    }
-    val q = broadcast(queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", explode(array(probeKeys: _*))))
+    val maskArr = array(masks.map(lit): _*)
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
+        array((0 until tables).map(t => signBucket(col(vecCol), bits, t)): _*).as("codes"))
+      .select(col("query_id"), col("qv"), posexplode(col("codes")).as(Seq("tb", "code")))
+      .select(col("query_id"), col("qv"), explode(transform(maskArr,
+        m => xxhash64(col("tb"), col("code").bitwiseXOR(m)))).as("bucket")))
     val scored = bucketedItems.join(q, "bucket")
       .dropDuplicates("query_id", "item_id")
       .select(col("query_id"), col("item_id"), cosine(col("iv"), col("qv")).as("cosine"))
@@ -126,6 +131,13 @@ object Ann {
   def ivfCentroids(items: DataFrame, nlist: Int, iters: Int,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): Array[Array[Double]] = {
+    // Lloyd updates collect (nlist × dim) means to the driver per iteration
+    // and broadcast the centroid table back inside codegen'd expressions —
+    // the right shape for coarse IVF quantizers (FAISS-style nlist ≤ few
+    // thousand), NOT for per-cell training. Guard the assumption explicitly.
+    require(nlist <= 4096,
+      s"ivfCentroids trains driver-side; nlist=$nlist exceeds the 4096 " +
+        "coarse-quantizer bound (use hierarchical/sampled training beyond it)")
     val base = items.select(col(idCol).as("id"), col(vecCol).as("v"))
     var centroids: Array[Array[Double]] = base
       .orderBy(xxhash64(col("id")), col("id")).limit(nlist)

@@ -44,7 +44,16 @@ object Dedup {
    */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  tau: Double = 0.7, numHashes: Int = 16, bandSize: Int = 2,
-                 shingle: Int = 2, maxBucket: Int = 1000): DataFrame = {
+                 shingle: Int = 2, maxBucket: Int = 1000): DataFrame =
+    minhashLshWithStats(df, textCol, idCol, tau, numHashes, bandSize,
+      shingle, maxBucket)._1
+
+  /** [[minhashLsh]] plus a one-row stats frame (n_buckets / hot_buckets /
+    * dropped_rows) — hot-bucket drops are never silent at 100 TB (the same
+    * discipline as `Blocking.blockKeys`). */
+  def minhashLshWithStats(df: DataFrame, textCol: String, idCol: String,
+                 tau: Double = 0.7, numHashes: Int = 16, bandSize: Int = 2,
+                 shingle: Int = 2, maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     val bands = numHashes / bandSize
     val norm = ascii_lower(col(textCol))
     val sig = df.select(col(idCol).as("id"),
@@ -53,8 +62,16 @@ object Dedup {
       xxhash64(lit(b + 1), xxhash64(slice(col("sig"), b * bandSize + 1, bandSize)))
     }
     val keyed = sig.select(col("id"), explode(array(bandKeys: _*)).as("bucket"))
-    val hot = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket)
+    val sizes = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val hot = sizes.filter(col("n") > maxBucket)
+    val stats = sizes.agg(
+      count(lit(1)).as("n_buckets"),
+      coalesce(sum("n"), lit(0L)).as("n_bucket_rows"),
+      coalesce(max("n"), lit(0L)).as("max_bucket"),
+      coalesce(sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as("hot_buckets"),
+      coalesce(sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L))), lit(0L))
+        .as("dropped_rows"))
     val cool = keyed.join(broadcast(hot), Seq("bucket"), "left_anti")
     val a = cool.select(col("bucket"), col("id").as("id_a"))
     val b = cool.select(col("bucket"), col("id").as("id_b"))
@@ -63,12 +80,13 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct() // dedup band collisions BEFORE the expensive exact stage
     val toks = df.select(col(idCol).as("id"), token_hashes(norm).as("tok"))
-    cand
+    val pairs = cand
       .join(toks.select(col("id").as("id_a"), col("tok").as("tok_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("tok").as("tok_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         token_jaccard_sorted(col("tok_a"), col("tok_b")).as("jaccard"))
       .filter(col("jaccard") >= tau)
+    (pairs, stats)
   }
 
   /**
@@ -80,7 +98,13 @@ object Dedup {
    * guarantee fail fast instead of silently losing recall).
    */
   def simhash(df: DataFrame, textCol: String, idCol: String,
-              maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+              maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    simhashWithStats(df, textCol, idCol, maxHamming, maxBucket)._1
+
+  /** [[simhash]] plus a one-row stats frame — hot-band drops are metered,
+    * never silent (mirrors `Blocking.blockKeys`). */
+  def simhashWithStats(df: DataFrame, textCol: String, idCol: String,
+              maxHamming: Int = 3, maxBucket: Int = 10000): (DataFrame, DataFrame) = {
     require(maxHamming <= 7,
       s"8x8-bit banding guarantees recall only for hamming <= 7, got $maxHamming")
     val fp = simhash64(ascii_lower(col(textCol)))
@@ -90,17 +114,27 @@ object Dedup {
         xxhash64(lit(b + 1),
           shiftright(col("fp"), b * 8).bitwiseAND(lit(0xffL)))): _*))
         .as("bucket"))
-    val hot = banded.groupBy("bucket").agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val hot = sizes.filter(col("n") > maxBucket)
+    val stats = sizes.agg(
+      count(lit(1)).as("n_buckets"),
+      coalesce(sum("n"), lit(0L)).as("n_bucket_rows"),
+      coalesce(max("n"), lit(0L)).as("max_bucket"),
+      coalesce(sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as("hot_buckets"),
+      coalesce(sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L))), lit(0L))
+        .as("dropped_rows"))
     val cool = banded.join(broadcast(hot), Seq("bucket"), "left_anti")
     val a = cool.select(col("bucket"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = cool.select(col("bucket"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, "bucket")
+    val pairs = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
       .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    (pairs, stats)
   }
 
   /**
@@ -154,7 +188,15 @@ object Dedup {
    */
   def windowFingerprint(df: DataFrame, textCol: String, idCol: String,
                         windowTokens: Int = 15,
-                        maxDocsPerWindow: Int = 100000): DataFrame = {
+                        maxDocsPerWindow: Int = 100000): DataFrame =
+    windowFingerprintWithStats(df, textCol, idCol, windowTokens,
+      maxDocsPerWindow)._1
+
+  /** [[windowFingerprint]] plus a one-row stats frame — boilerplate-window
+    * drops (site chrome shared by >cap docs) are metered, never silent. */
+  def windowFingerprintWithStats(df: DataFrame, textCol: String, idCol: String,
+                        windowTokens: Int = 15,
+                        maxDocsPerWindow: Int = 100000): (DataFrame, DataFrame) = {
     val w = windowTokens
     val toks = split(lower(col(textCol)), " ")
     val nWin = size(toks) - (w - 1)
@@ -163,15 +205,24 @@ object Dedup {
         i => md5(array_join(slice(toks, i, lit(w)), " ").cast("binary")))))
       .otherwise(array().cast("array<string>"))
     val fps = df.select(col(idCol).as("id"), explode(fpsArr).as("fp"))
-    val hot = fps.groupBy("fp").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxDocsPerWindow)
+    val sizes = fps.groupBy("fp").agg(count(lit(1)).as("n"))
+    val hot = sizes.filter(col("n") > maxDocsPerWindow)
+    val stats = sizes.agg(
+      count(lit(1)).as("n_windows"),
+      coalesce(sum("n"), lit(0L)).as("n_window_rows"),
+      coalesce(max("n"), lit(0L)).as("max_window_docs"),
+      coalesce(sum(when(col("n") > maxDocsPerWindow, lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as("hot_windows"),
+      coalesce(sum(when(col("n") > maxDocsPerWindow, col("n")).otherwise(lit(0L))), lit(0L))
+        .as("dropped_rows"))
     val cool = fps.join(broadcast(hot), Seq("fp"), "left_anti")
     val a = cool.select(col("fp"), col("id").as("id_a"))
     val b = cool.select(col("fp"), col("id").as("id_b"))
-    a.join(b, "fp")
+    val pairs = a.join(b, "fp")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_windows"))
+    (pairs, stats)
   }
 
   /**
@@ -179,35 +230,80 @@ object Dedup {
    * bucketing, then exact cosine within candidates.
    *
    * Recall engineering: a pair at cosine c agrees on one hyperplane with
-   * probability 1 − θ/π (θ = arccos c). One sign bucket has vanishing recall
-   * at moderate c, so candidates come from `tables` independent hyperplane
-   * families, and within each table side B probes every bucket within
-   * `maxFlip` bit flips: a pair is a candidate if its codes are within
-   * hamming `maxFlip` in ANY table. Per-pair miss probability is
-   * (1 − P[ham ≤ maxFlip])^tables — driven below 1/corpus² by table count;
-   * the defaults reproduce the exact brute-force pair set on the test
-   * embeddings (OpsSpec recall gate ≥ 0.95 + driver oracle equality).
-   * Fan-out is tables·C(bits, ≤maxFlip) keys on ONE side only, independent
-   * of corpus size.
+   * probability p = 1 − arccos(c)/π. Candidates come from `tables`
+   * independent hyperplane families; within each table the probe side B
+   * emits every bucket within `maxFlip` bit flips, so a pair is a candidate
+   * if its codes are within hamming `maxFlip` in ANY table. Per-pair miss
+   * probability is (1 − P[ham ≤ maxFlip])^tables.
+   *
+   * Probe budget is derived from `tau` (tables = 0 → auto): the analytic
+   * recall model picks the table count that drives per-pair miss below
+   * `targetMiss` AT the threshold cosine, so the key fan-out per vector is
+   * the minimum the asked-for recall permits — at a near-dup threshold
+   * (τ ≥ 0.9, bits = 8, maxFlip = 1) that is ~120 keys/vector, ~10× less
+   * than a fixed worst-case budget. The hashes are deterministic, so recall
+   * on a fixed corpus is a fixed fact, gate-tested (OpsSpec ≥ 0.95 +
+   * driver oracle equality vs brute force).
+   *
+   * Scale shape: ONLY (id, 8-byte bucket) rows flow through the bucket
+   * join — vectors are joined back AFTER the candidate pairs are
+   * `distinct`ed, so each surviving pair moves each vector once (the same
+   * de-fat discipline as [[minhashLsh]]). The derived budget is logged.
+   *
+   * NOTE a low τ (≲ 0.6) is intrinsically hostile to sign-LSH: p(τ) is
+   * close to the random-pair p = 0.5, so ANY family needs near-all-pairs
+   * probing — the derived table count makes that cost visible instead of
+   * hiding it behind fixed constants.
    */
   def embeddingCosine(df: DataFrame, vecCol: String, idCol: String,
-                      tau: Double = 0.95, bits: Int = 8, tables: Int = 12,
-                      maxFlip: Int = 3): DataFrame = {
+                      tau: Double = 0.9, bits: Int = 8, tables: Int = 0,
+                      maxFlip: Int = 1, targetMiss: Double = 1e-5): DataFrame = {
+    val t = if (tables > 0) tables
+            else derivedTables(tau, bits, maxFlip, targetMiss)
+    val nMasks = (0L until (1L << bits)).count(m => java.lang.Long.bitCount(m) <= maxFlip)
+    System.err.println(s"[dedup] embeddingCosine tau=$tau bits=$bits " +
+      s"maxFlip=$maxFlip tables=$t keysPerVector=${t + t * nMasks} " +
+      s"(exact=${t} + probe=${t * nMasks})")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val masks = (0L until (1L << bits)).filter(m => java.lang.Long.bitCount(m) <= maxFlip)
-    // side A: exact code per table; side B: all codes within maxFlip flips
-    val aKeys = (0 until tables).map(t => xxhash64(lit(t), Ann.signBucket(col("v"), bits, t)))
-    val a = base.select(col("id").as("id_a"), col("v").as("v_a"),
-        explode(array(aKeys: _*)).as("bucket"))
-    val bKeys = (0 until tables).flatMap { t =>
-      masks.map(m => xxhash64(lit(t), Ann.signBucket(col("v"), bits, t).bitwiseXOR(lit(m))))
-    }
-    val b = base.select(col("id").as("id_b"), col("v").as("v_b"),
-        explode(array(bKeys: _*)).as("bucket"))
-    a.join(b, "bucket")
+    // Each table's code is computed ONCE per row (8·dim work), then cheap
+    // hash keys fan out from the precomputed code array — never recompute
+    // the hyperplane aggregates per probe mask.
+    val coded = base.select(col("id"),
+      array((0 until t).map(tb => Ann.signBucket(col("v"), bits, tb)): _*).as("codes"))
+    // side A: exact code per table; side B: all codes within maxFlip flips.
+    // Slim key stream: (id, bucket) only — vectors stay in the scan stage.
+    val a = coded
+      .select(col("id").as("id_a"), posexplode(col("codes")).as(Seq("tb", "code")))
+      .select(col("id_a"), xxhash64(col("tb"), col("code")).as("bucket"))
+    val maskArr = array(masks.map(lit): _*)
+    val b = coded
+      .select(col("id").as("id_b"), posexplode(col("codes")).as(Seq("tb", "code")))
+      .select(col("id_b"), explode(transform(maskArr,
+        m => xxhash64(col("tb"), col("code").bitwiseXOR(m)))).as("bucket"))
+    val cand = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct() // each candidate pair scored exactly once
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .filter(Ann.cosine(col("v_a"), col("v_b")) >= tau)
       .select("id_a", "id_b")
+  }
+
+  /** Smallest table count with per-pair miss ≤ targetMiss at cosine = tau,
+    * from the sign-LSH recall model (see [[embeddingCosine]]). */
+  def derivedTables(tau: Double, bits: Int, maxFlip: Int,
+                    targetMiss: Double): Int = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+    def choose(n: Int, k: Int): Double =
+      (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    val perTable = (0 to maxFlip).map(k =>
+      choose(bits, k) * math.pow(p, bits - k) * math.pow(1 - p, k)).sum
+    require(perTable > 1e-6,
+      s"tau=$tau gives per-table recall $perTable — no practical table count; " +
+        "raise tau or maxFlip")
+    math.max(1, math.ceil(math.log(targetMiss) / math.log1p(-perTable)).toInt)
   }
 }

@@ -11,11 +11,13 @@ import graft.functions.Sim
  * `binary` columns with a typed metadata struct; decode / feature-extract /
  * resize / frame-sample are per-batch transforms.
  *
- * The actual codec step is STUBBED (this container has no image/audio
- * libraries): `decodeStub` derives deterministic fake metadata and features
- * from a content hash. Everything Spark-side — schema, batch shape,
- * partition-local processing, column pruning — is real and tested; swapping
- * in a real decoder is a one-function change, marked below.
+ * The IMAGE modality is decoded for REAL: payloads are genuine PNG bytes
+ * (deterministically synthesized per doc — the sandbox stand-in for crawled
+ * image bytes) and `image_decode` runs a full javax.imageio raster decode,
+ * reporting the actual dimensions/format. Audio/video remain STUBBED (no
+ * audio/video codec ships with the JDK): `decodeStub` derives deterministic
+ * fake metadata from a content hash; swapping in a real decoder is a
+ * one-function change, marked below.
  */
 object Multimodal {
 
@@ -24,10 +26,12 @@ object Multimodal {
     "sample_rate: INT, n_frames: INT, codec: STRING>"
 
   /**
-   * Deterministic fake decode — REPLACE WITH REAL CODEC HERE.
-   * A real implementation decodes `payload` (e.g. via javax.imageio /
-   * ffmpeg bindings) per partition; the stub derives plausible metadata from
-   * the payload hash so tests exercise the full dataflow deterministically.
+   * Deterministic fake decode for AUDIO/VIDEO — REPLACE WITH REAL CODEC
+   * HERE (ffmpeg bindings on a real deployment; the JDK has no audio/video
+   * codec). Image rows never reach this: they take the real
+   * javax.imageio path in [[prepare]]. The stub derives plausible metadata
+   * from the payload hash so tests exercise the full dataflow
+   * deterministically.
    */
   def decodeStub(payload: Column, modality: Column): Column = {
     val h = xxhash64(payload)
@@ -86,9 +90,25 @@ object Multimodal {
     val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
       (pmod(xxhash64(col(idCol)), lit(3L)) + 1).cast("int"))
     docs.select(col(idCol), col(textCol))
-      .withColumn("payload", col(textCol).cast("binary")) // stands in for real bytes
       .withColumn("modality", modality)
-      .withColumn("meta", decodeStub(col("payload"), col("modality")))
+      // image rows carry REAL PNG bytes; audio/video payloads remain the
+      // text-bytes stand-in (no JDK codec to decode them with)
+      .withColumn("payload",
+        when(col("modality") === "image", png_encode(xxhash64(col(idCol))))
+          .otherwise(col(textCol).cast("binary")))
+      // image metadata comes from a REAL javax.imageio raster decode of the
+      // payload — width/height/codec are read back from the PNG, not derived
+      .withColumn("meta", {
+        val dec = image_decode(col("payload"))
+        when(col("modality") === "image", struct(
+          col("modality").as("modality"),
+          dec.getField("width").as("width"),
+          dec.getField("height").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("int").as("n_frames"),
+          dec.getField("codec").as("codec")))
+          .otherwise(decodeStub(col("payload"), col("modality")))
+      })
       .withColumn("features", featureStub(col("payload"), dim))
       .withColumn("meta_resized", resizeMeta(col("meta"), 512))
       .drop(textCol)

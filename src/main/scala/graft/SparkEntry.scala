@@ -204,9 +204,31 @@ object SparkEntry {
       Dedup.windowFingerprint(pages, "text", "doc", windowTokens = 15)
         .orderBy("id_a", "id_b")
     }),
-    "q22_embedding_dups" -> ((s, d) =>
-      Dedup.embeddingCosine(t(s, d, "embeddings"), "embedding", "vec_id", tau = 0.4)
-        .orderBy("id_a", "id_b")),
+    "q22_embedding_dups" -> ((s, d) => {
+      // The sf embeddings are random-ish (no pair above cosine 0.6), so
+      // near-duplicates at a realistic threshold are PLANTED: for vec_id
+      // < 100 a deterministic perturbed copy (id + 100000) at cosine ≈ 0.95
+      // derived from the same table. The op runs at tau = 0.9 — the regime
+      // sign-LSH is designed for — with its tau-derived minimal probe
+      // budget (~110 keys/vector vs the old fixed 1128); the oracle
+      // brute-forces the exact pair set over the same materialized rows.
+      val emb = sideTable(s, d, "neardup_vectors") {
+        val base = t(s, d, "embeddings").select("vec_id", "embedding")
+        // per-dim step: 0.3·|v|/sqrt(dim) with content-hashed signs →
+        // delta norm ≈ 0.3·|v| → cosine ≈ 1/sqrt(1.09) ≈ 0.958
+        val scale = lit(0.3) * sqrt(aggregate(col("embedding"), lit(0.0d),
+          (a, x) => a + x.cast("double") * x.cast("double")) / size(col("embedding")))
+        val planted = base.filter(col("vec_id") < 100)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), (x, j) =>
+              (x.cast("double") + scale * when(
+                pmod(xxhash64(col("vec_id"), j), lit(2)) === 0, lit(1.0))
+                .otherwise(lit(-1.0))).cast("float")).as("embedding"))
+        base.unionByName(planted)
+      }
+      Dedup.embeddingCosine(emb, "embedding", "vec_id", tau = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
     // ---------------------------------------------- similarity search (ANN)
     "q23_ann_brute" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -515,10 +537,11 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(shared_windows AS BIGINT) AS shared_windows
          |FROM c WHERE shared_windows >= 1 ORDER BY 1, 2""".stripMargin,
     "q22_embedding_dups" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4 ORDER BY 1, 2""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM '$Mat/neardup_vectors.parquet/*.parquet')
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9 ORDER BY 1, 2""".stripMargin,
     "q24_ann_lsh" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
         |s AS (SELECT query_id, vec_id AS item_id,
@@ -715,13 +738,19 @@ object SparkEntry {
         |SELECT query_id, item_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q27_segment_topn" ->
       """WITH inter AS (
-        |  SELECT CAST(o_custkey AS VARCHAR) AS u, CAST(l_partkey AS VARCHAR) AS i
+        |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS u, CAST(l_partkey AS VARCHAR) AS i
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cnt AS (SELECT i, count(*) AS cnt FROM inter GROUP BY 1),
         |buyers AS (SELECT i AS target_item, u AS buyer FROM inter WHERE i IN ('1','2','3')),
-        |co AS (SELECT DISTINCT b.target_item, x.i AS co_item
-        |       FROM inter x JOIN buyers b ON x.u = b.buyer WHERE x.i <> b.target_item),
-        |aff AS (SELECT co.target_item AS item_id, x.u AS user_id, count(*) AS affinity
-        |        FROM inter x JOIN co ON x.i = co.co_item GROUP BY 1,2),
+        |co AS (SELECT b.target_item, x.i AS co_item, count(*) AS co
+        |       FROM inter x JOIN buyers b ON x.u = b.buyer WHERE x.i <> b.target_item
+        |       GROUP BY 1,2),
+        |sim AS (SELECT co.target_item, co.co_item,
+        |               (co.co * co.co * 1000000) // (ct.cnt * cc.cnt) AS sim
+        |        FROM co JOIN cnt ct ON ct.i = co.target_item
+        |                JOIN cnt cc ON cc.i = co.co_item),
+        |aff AS (SELECT sim.target_item AS item_id, x.u AS user_id, sum(sim.sim) AS affinity
+        |        FROM inter x JOIN sim ON x.i = sim.co_item GROUP BY 1,2),
         |r AS (SELECT item_id, user_id, row_number() OVER (PARTITION BY item_id ORDER BY affinity DESC, user_id ASC) AS rn FROM aff)
         |SELECT item_id, user_id FROM r WHERE rn <= 5 ORDER BY item_id, user_id""".stripMargin,
     "q26_interactions" ->

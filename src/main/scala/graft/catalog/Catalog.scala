@@ -92,6 +92,14 @@ object Catalog {
    * `latest` snapshot like any other table (the reference's
    * integrated_customer registration, lib/data-storage.ts:155-217). Re-call
    * after a publish to move the view to the new snapshot.
+   *
+   * Vacuum interaction: the view binds to the CONCRETE snapshots/vN
+   * directory resolved at registration. `publishSnapshot(retain = k)`
+   * eventually deletes that directory, after which the stale view fails
+   * with file-not-found rather than degrading to the latest snapshot —
+   * re-register on publish (or keep `retain` above the longest view
+   * lifetime). This mirrors Iceberg semantics: a reader pinned to an
+   * expired snapshot errors once `expire_snapshots` removes its files.
    */
   def registerPublished(spark: SparkSession, name: String, tableDir: String): Unit =
     graft.publish.Downstream.readLatest(spark, tableDir).createOrReplaceTempView(name)

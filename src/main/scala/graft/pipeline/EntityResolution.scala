@@ -262,12 +262,22 @@ object EntityResolution {
    *     while the near-converged input makes iterations cheap.
    */
   def resolveIncremental(newPages: DataFrame, priorWorkDir: String,
-                         cfg: Config = Config()): Result = {
+                         cfg: Config = Config(),
+                         auditIds: Boolean = false): Result = {
     val spark = newPages.sparkSession
     val work = cfg.workDir.getOrElse(freshWorkDir())
     require(work != priorWorkDir, "incremental output workDir must differ from prior state dir")
 
     val oldPaths = readRecordsList(priorWorkDir)
+    // the manifest chains across all prior state dirs (immutable files are
+    // never copied forward) — fail with a clear chain-broken error instead
+    // of a deep parquet path-not-found if an earlier dir was deleted
+    val missing = oldPaths.filterNot(p =>
+      new java.io.File(p, "_SUCCESS").exists() || new java.io.File(p).exists())
+    require(missing.isEmpty,
+      s"records manifest chain broken — prior state files missing: " +
+        s"${missing.mkString(", ")} (earlier incremental state dirs must " +
+        "outlive the table; copy them forward before vacuuming)")
     val oldRecords = spark.read.parquet(oldPaths: _*)
     val oldEdges = spark.read.parquet(s"$priorWorkDir/edges.parquet")
     val oldComponents = spark.read.parquet(s"$priorWorkDir/components.parquet")
@@ -280,57 +290,137 @@ object EntityResolution {
       .select(oldRecords.columns.map(col): _*)
       .write.mode("overwrite").parquet(newRecPath)
     val newRecords = spark.read.parquet(newRecPath)
+    // Re-crawl guard: a batch url already present in prior state would
+    // append the same id twice (fanning out every later join and silently
+    // duplicating RecordId rows). Cheap: the new-id side is one batch.
+    val reCrawled = newRecords.select("id")
+      .join(oldRecords.select("id"), Seq("id"), "left_semi").count()
+    require(reCrawled == 0,
+      s"$reCrawled record(s) in the batch already exist in prior state " +
+        "(re-crawl/update); dedupe the batch or run a compacting re-resolve " +
+        "— blind append would duplicate RecordId rows")
     writeRecordsList(work, oldPaths :+ newRecPath)
     val records = spark.read.parquet((oldPaths :+ newRecPath): _*)
     val newIds = newRecords.select(col("id"))
+    if (auditIds) {
+      val r = records.agg(countDistinct(col("id")).as("ids"),
+        countDistinct(col("url")).as("urls")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"record-id hash collision: ${r.getLong(1)} urls → ${r.getLong(0)} ids")
+    }
 
-    // keys over all records (global re-keying), pairs only where ≥1 side new
+    // keys over all records (global re-keying)
     val (keys, blockStats) = materializeKeys(spark, records, work, cfg)
-    val keysNew = keys.join(newIds, Seq("id"), "left_semi")
-    val touchedBuckets = records.join(newIds, Seq("id"), "left_semi")
-      .select(substring(col("sort_key"), 1, cfg.blocking.snBucketLen).as("b")).distinct()
-    val snRecords = records.join(touchedBuckets,
-      substring(col("sort_key"), 1, cfg.blocking.snBucketLen) === col("b"), "left_semi")
-    // SN pairs feed two semi-joins below — materialize so the per-bucket
-    // sort + window scan runs once
+
+    // ---- affected-record detection: the reason `incremental ≡ full
+    // re-resolve` holds UNCONDITIONALLY, not just while no block crosses a
+    // re-key/drop threshold. Two global effects of a new batch can change
+    // what a full run would generate for OLD records:
+    //
+    //  (a) hot-block re-keying/dropping: an old record's key SET changes
+    //      when its block crosses a size class. Diff the persisted prior
+    //      keys table against the recomputed one; key-changed records are
+    //      folded into the "new" side — their old edges are dropped and all
+    //      their candidates re-derived + re-scored (scoring is a pure
+    //      content function, so surviving edges come back identical). In
+    //      the common case no block crosses a class and this set is empty.
+    //
+    //  (b) sorted-neighborhood drift: new records inserted into a bucket
+    //      push old neighbors apart. Insertions can only GROW old×old
+    //      window distances, so the full run's old×old SN pair set is a
+    //      SUBSET of the prior one — no old×old SN pair needs scoring; only
+    //      pairs the full run would NO LONGER generate need their stale
+    //      edges dropped. Recompute SN over the touched buckets with and
+    //      without the batch: the difference (minus pairs still generated
+    //      by shared block keys) is the exact stale set.
+    val oldKeysPrior = spark.read.parquet(s"$priorWorkDir/keys.parquet")
+      .select("id", "block_key")
+    val keyChangedIds = oldKeysPrior.exceptAll(keys.select("id", "block_key"))
+      .union(keys.select("id", "block_key").exceptAll(oldKeysPrior))
+      .select("id").distinct()
+      .join(newIds, Seq("id"), "left_anti") // new ids trivially "gained" keys
+    val seedIds = newIds.union(keyChangedIds).distinct()
+    val keysEff = keys.join(seedIds, Seq("id"), "left_semi")
+
+    val bucketOf = substring(col("sort_key"), 1, cfg.blocking.snBucketLen)
+    val touchedBuckets = records.join(seedIds, Seq("id"), "left_semi")
+      .select(bucketOf.as("b")).distinct()
+    val snRecords = records.join(touchedBuckets, bucketOf === col("b"), "left_semi")
+    // SN pairs of the touched buckets feed several consumers — materialize
+    // so the per-bucket sort + window scan runs once per variant
     Blocking.sortedNeighborhoodPairs(snRecords, cfg.blocking)
       .write.mode("overwrite").parquet(s"$work/sn_pairs.parquet")
     val sn = spark.read.parquet(s"$work/sn_pairs.parquet")
-    val snNew = sn.join(newIds.withColumnRenamed("id", "main_id"), Seq("main_id"), "left_semi")
-      .union(sn.join(newIds.withColumnRenamed("id", "sub_id"), Seq("sub_id"), "left_semi"))
-    val pairs = Blocking.candidatePairsInvolving(keysNew, keys)
-      .union(snNew).distinct()
+    val snSeed = sn.join(seedIds.withColumnRenamed("id", "main_id"), Seq("main_id"), "left_semi")
+      .union(sn.join(seedIds.withColumnRenamed("id", "sub_id"), Seq("sub_id"), "left_semi"))
+    // prior-run SN pairs of the same buckets (old records only, bucket
+    // boundaries are content-defined so the restriction is exact)
+    val snPrior = Blocking.sortedNeighborhoodPairs(
+      snRecords.join(newIds, Seq("id"), "left_anti"), cfg.blocking)
+    val snDropped = snPrior.exceptAll(sn)
+    // a dropped SN pair still generated by a shared (current) block key is
+    // still a full-run candidate — its edge survives
+    val sharedKey = snDropped
+      .join(keys.select(col("id").as("main_id"), col("block_key")), "main_id")
+      .join(keys.select(col("id").as("sub_id"), col("block_key")), Seq("sub_id", "block_key"),
+        "left_semi")
+      .select("main_id", "sub_id")
+    val staleSnPairs = snDropped.join(sharedKey, Seq("main_id", "sub_id"), "left_anti")
 
-    // score ONLY new-involving pairs; old edges are reused verbatim
+    val pairs = Blocking.candidatePairsInvolving(keysEff, keys)
+      .union(snSeed).distinct()
+
+    // score only pairs involving a new or key-changed record; all other old
+    // edges are reused verbatim except the stale SN set computed above
     val scored = scorePairs(pairs, records, cfg)
     scored.filter(col("score") >= cfg.tau)
       .select("main_id", "sub_id", "score")
       .write.mode("overwrite").parquet(s"$work/edges_new.parquet")
     val newEdges = spark.read.parquet(s"$work/edges_new.parquet")
+    val droppedStaleEdges = oldEdges.select("main_id", "sub_id", "score")
+      .join(staleSnPairs, Seq("main_id", "sub_id"), "left_semi")
+    val keptEdges = oldEdges.select("main_id", "sub_id", "score")
+      .join(keyChangedIds.withColumnRenamed("id", "main_id"), Seq("main_id"), "left_anti")
+      .join(keyChangedIds.withColumnRenamed("id", "sub_id"), Seq("sub_id"), "left_anti")
+      .join(staleSnPairs, Seq("main_id", "sub_id"), "left_anti")
     val edgePath = s"$work/edges.parquet"
-    newEdges.unionByName(oldEdges.select("main_id", "sub_id", "score"))
+    newEdges.unionByName(keptEdges)
       .write.mode("overwrite").parquet(edgePath)
     val edges = spark.read.parquet(edgePath)
 
-    // Clustering runs ONLY on the subgraph touched by a new edge: untouched
-    // prior components cannot change (no new edge reaches them — any cluster
-    // holding an endpoint of a new edge is touched by construction), so they
-    // pass through label-unchanged. Touched clusters enter as star edges
-    // (node→component = the exact transitive closure of their old edges), so
-    // the CC fixpoint over [new edges ∪ touched stars] equals a global
-    // CC(old ∪ new) on those clusters — and per-batch clustering cost tracks
-    // the touched subgraph, not cluster-count lifetime.
-    val touchedNodes = newEdges.select(col("main_id").as("node"))
-      .union(newEdges.select(col("sub_id").as("node"))).distinct()
-    // cluster label of each touched node: its component, or itself if it was
-    // a root or previously unmatched
-    val touchedLabels = touchedNodes
+    // Clustering runs ONLY on the subgraph touched by a new/dropped edge;
+    // untouched prior components pass through label-unchanged. Touched
+    // components split two ways:
+    //   - STALE (contain a key-changed record or a dropped-edge endpoint —
+    //     an old edge may be gone): rebuilt from their kept + new edges,
+    //     because the prior star closure would resurrect dropped links;
+    //   - CLEAN (touched only by new edges): enter as star edges
+    //     (node→component = the exact closure of their intact old edges),
+    //     keeping iterations near-converged. Label frames are one batch's
+    //     touched components — broadcast, so membership semi-joins stay
+    //     shuffle-free.
+    def labelsOf(nodes: DataFrame): DataFrame = nodes
       .join(oldComponents, Seq("node"), "left")
       .select(coalesce(col("component"), col("node")).as("component")).distinct()
-    val touchedStars = oldComponents.join(touchedLabels, Seq("component"), "left_semi")
+    // a dropped edge's two endpoints share a prior component, so one side's
+    // label covers both
+    val staleLabels = labelsOf(
+      keyChangedIds.withColumnRenamed("id", "node")
+        .union(droppedStaleEdges.select(col("main_id").as("node"))).distinct())
+    val touchedLabels = labelsOf(
+      newEdges.select(col("main_id").as("node"))
+        .union(newEdges.select(col("sub_id").as("node"))).distinct())
+      .union(staleLabels).distinct()
+    val cleanLabels = touchedLabels.exceptAll(staleLabels)
+    val cleanStars = oldComponents.join(broadcast(cleanLabels), Seq("component"), "left_semi")
+    val staleNodes = oldComponents.join(broadcast(staleLabels), Seq("component"), "left_semi")
+      .select(col("node").as("main_id"))
+    // kept edges of a stale component (both endpoints share the component)
+    val staleKeptEdges = keptEdges.join(staleNodes, Seq("main_id"), "left_semi")
     val untouched = oldComponents.join(touchedLabels, Seq("component"), "left_anti")
     val ccInput = newEdges.select(col("main_id").as("src"), col("sub_id").as("dst"))
-      .union(touchedStars.select(col("node").as("src"), col("component").as("dst")))
+      .union(cleanStars.select(col("node").as("src"), col("component").as("dst")))
+      .union(staleKeptEdges.select(col("main_id").as("src"), col("sub_id").as("dst")))
     val compPath = s"$work/components.parquet"
     ConnectedComponents.run(ccInput)
       .unionByName(untouched.select("node", "component"))

@@ -48,26 +48,46 @@ object Downstream {
   }
 
   /**
-   * Top-N users per item by affinity. Affinity here = co-purchase count of
-   * the item's buyers' other items (deterministic stand-in for the
-   * Personalize model score), ties broken by user id.
+   * Top-N users per item by a trained item-item collaborative-filtering
+   * affinity (the deterministic analog of the Personalize solution-version
+   * model the reference treats as an opaque service, lib/personalize.ts):
+   *
+   *   sim(i,j)       = cosine²(i,j) over binary user-item vectors
+   *                  = co(i,j)² / (|buyers i|·|buyers j|), in FIXED-POINT
+   *                    (ppm, exact integer `div`) so scores — and therefore
+   *                    the top-N cut — are bit-identical on any engine and
+   *                    any aggregation order (a double sum would make the
+   *                    ranking shuffle-order-dependent at ties);
+   *   affinity(u,i)  = Σ_{j ∈ items(u), j≠i} sim(i,j)
+   *
+   * ties broken by user id. Scale shape: co-occurrence is computed only for
+   * the requested target items (buyers ⨝ interactions, two hash shuffles);
+   * nothing materializes the full |items|² similarity matrix.
    */
   def segmentTopN(interactions: DataFrame, itemIds: Seq[String],
                   numResults: Int = 100): DataFrame = {
+    // binary user-item matrix (repeat purchases don't inflate similarity)
     val inter = interactions.select(col("USER_ID").as("u"), col("ITEM_ID").as("i"))
+      .distinct()
+    val cnt = inter.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
     // buyers of each target item
     val buyers = inter.filter(col("i").isin(itemIds: _*))
       .select(col("i").as("target_item"), col("u").as("buyer"))
-    // items co-purchased with the target by its buyers
+    // co-occurrence counts: how many of the target's buyers also bought j
     val co = inter.select(col("u").as("buyer"), col("i").as("co_item"))
       .join(buyers, "buyer")
       .filter(col("co_item") =!= col("target_item"))
-      .select("target_item", "co_item").distinct()
-    // affinity(user, target) = how many of the target's co-items the user bought
+      .groupBy("target_item", "co_item")
+      .agg(count(lit(1)).as("co"))
+    val sim = co
+      .join(cnt.select(col("i").as("target_item"), col("cnt").as("cnt_t")), "target_item")
+      .join(cnt.select(col("i").as("co_item"), col("cnt").as("cnt_c")), "co_item")
+      .select(col("target_item"), col("co_item"),
+        expr("(co * co * 1000000L) div (cnt_t * cnt_c)").as("sim"))
     val affinity = inter.select(col("u").as("user_id"), col("i").as("co_item"))
-      .join(co, "co_item")
+      .join(sim, "co_item")
       .groupBy(col("target_item").as("item_id"), col("user_id"))
-      .agg(count(lit(1)).as("affinity"))
+      .agg(sum("sim").as("affinity"))
     val w = Window.partitionBy(col("item_id"))
       .orderBy(col("affinity").desc, col("user_id").asc)
     affinity.withColumn("rn", row_number().over(w))

@@ -36,18 +36,22 @@ object IncrementalProbe {
     EntityResolution.resolve(all.filter(!isNew),
       EntityResolution.Config(workDir = Some(w1))).integrated.count()
 
-    val (fullPairs, fullSec) = time {
+    // pair counts are measured OUTSIDE the timed sections: candidatePairs
+    // lazily recomputes blocking + pair generation, and the full side would
+    // recompute ~14x more pairs than the incremental side — wall-clock must
+    // time the resolve alone, symmetric on both sides
+    val (rFull, fullSec) = time {
       val r = EntityResolution.resolve(all,
         EntityResolution.Config(workDir = Some(tmp("full"))))
-      r.integrated.count()
-      r.candidatePairs.count()
+      r.integrated.count(); r
     }
-    val (incPairs, incSec) = time {
+    val fullPairs = rFull.candidatePairs.count()
+    val (rInc, incSec) = time {
       val r = EntityResolution.resolveIncremental(all.filter(isNew), w1,
         EntityResolution.Config(workDir = Some(tmp("inc"))))
-      r.integrated.count()
-      r.candidatePairs.count()
+      r.integrated.count(); r
     }
+    val incPairs = rInc.candidatePairs.count()
     val docs = all.count()
     f"""{"docs":$docs,"batch_frac":${1.0 / mod}%.3f,"full_sec":$fullSec%.2f,""" +
       f""""incremental_sec":$incSec%.2f,"speedup":${fullSec / incSec}%.2f,""" +

@@ -31,7 +31,9 @@ class DownstreamSpec extends AnyFunSuite {
     val got = Downstream.segmentTopN(inter, Seq("t"), numResults = 2)
       .orderBy("item_id", "user_id").collect()
       .map(r => (r.getString(0), r.getString(1)))
-    // co-items of t = {a, b}; affinities: u2 bought a+b (2), u3 a+b (2), u1 a (1)
+    // cnt: t=2 a=3 b=3; sim(t,a) = 2²·1e6 div (2·3) = 666666,
+    // sim(t,b) = 1²·1e6 div (2·3) = 166666; affinity u2 = u3 = 833332
+    // (a+b), u1 = 666666 (a), u4 = 166666 (b) → top-2 = u2, u3 (id tie-break)
     assert(got.toSeq == Seq(("t", "u2"), ("t", "u3")))
   }
 

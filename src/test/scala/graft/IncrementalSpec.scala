@@ -61,4 +61,66 @@ class IncrementalSpec extends AnyFunSuite {
       EntityResolution.Config(workDir = Some(d5)))
     assert(inc3.integrated.count() == full.integrated.count())
   }
+
+  // one hot-domain block, crafted sizes: prior = 60 rows (≤ maxBlock = 64,
+  // NOT re-keyed), batch pushes it to 70 (> 64 → every member's key set
+  // changes via hierarchical re-keying)
+  private def hotBlockPages(spark: org.apache.spark.sql.SparkSession, n: Int) = {
+    import spark.implicits._
+    import graft.testgen.WebPage
+    (0 until n).flatMap { i =>
+      val title = s"item number $i"
+      val body = (0 until 30).map(k =>
+        graft.testgen.WebCorpus.Vocab((i * 31 + k * 7) % 400)).mkString(" ")
+      val html = s"<html><head><title>$title</title></head><body>$body</body></html>"
+        .getBytes("UTF-8")
+      Seq(
+        WebPage(s"https://hub.example.com/main-item-$i",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), html, "", "en", "main"),
+        WebPage(s"https://hub.example.com/sub-item-$i",
+          java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), html, "", "en", "sub"))
+    }.toDF()
+  }
+
+  test("batch pushing a block across the re-key threshold: incremental == full") {
+    val all = hotBlockPages(spark, 35) // 70 same-domain rows
+    val batch = all.filter(col("url").rlike("item-3[0-4]$")) // last 5 entities
+    val old = all.exceptAll(batch)
+    assert(old.count() == 60 && batch.count() == 10)
+
+    val Seq(p1, p2, p3) = (1 to 3).map(i =>
+      Files.createTempDirectory(s"graft-hot$i").toString)
+    EntityResolution.resolve(old,
+      EntityResolution.Config(workDir = Some(p1))).integrated.count()
+    val inc = EntityResolution.resolveIncremental(batch, p1,
+      EntityResolution.Config(workDir = Some(p2)))
+    val full = EntityResolution.resolve(all,
+      EntityResolution.Config(workDir = Some(p3)))
+
+    val cols = Seq("RecordId", "InputSourceARN", "MatchID", "ConfidenceLevel")
+    val a = inc.integrated.select(cols.map(col): _*)
+    val b = full.integrated.select(cols.map(col): _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "incremental diverged from full re-resolve after a re-key threshold crossing")
+    // the detection fired: key-changed old records had old×old pairs rescored
+    val batchUrls = batch.select(col("url").as("u"))
+    val oldOld = inc.candidatePairs
+      .join(batchUrls.withColumnRenamed("u", "main_url"), Seq("main_url"), "left_anti")
+      .join(batchUrls.withColumnRenamed("u", "sub_url"), Seq("sub_url"), "left_anti")
+    assert(oldOld.count() > 0,
+      "expected old×old rescoring for the key-changed block members")
+  }
+
+  test("re-crawl guard: a batch url already in prior state fails fast") {
+    val all = graft.testgen.WebCorpus.pages(spark, 200).toDF()
+    val d1 = Files.createTempDirectory("graft-rc1").toString
+    val d2 = Files.createTempDirectory("graft-rc2").toString
+    EntityResolution.resolve(all,
+      EntityResolution.Config(workDir = Some(d1))).integrated.count()
+    val ex = intercept[IllegalArgumentException] {
+      EntityResolution.resolveIncremental(all.limit(3), d1,
+        EntityResolution.Config(workDir = Some(d2))).integrated.count()
+    }
+    assert(ex.getMessage.contains("re-crawl"))
+  }
 }

@@ -138,6 +138,55 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exceptAll(brute).count() == 0)
   }
 
+  test("embedding cosine near-dup regime: tau-derived budget finds planted pairs exactly") {
+    // mirror of q22: perturbed copies at cosine ≈ 0.95 planted from the same
+    // vectors; the auto-derived probe budget (~110 keys/vector at tau=0.9)
+    // must still reproduce the brute-force pair set bit-exactly
+    val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), (x, j) =>
+        (x.cast("double") + lit(0.3) * sqrt(aggregate(col("embedding"), lit(0.0d),
+          (a, v) => a + v.cast("double") * v.cast("double")) / size(col("embedding"))) *
+          when(pmod(xxhash64(col("vec_id"), j), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0))).cast("float")).as("embedding"))
+    val all = emb.select("vec_id", "embedding").unionByName(planted).cache()
+    val tables = Dedup.derivedTables(0.9, 8, 1, 1e-5)
+    assert(tables * (1 + 9) <= 120, s"derived fan-out too big: $tables tables")
+    val pairs = Dedup.embeddingCosine(all, "embedding", "vec_id", tau = 0.9).cache()
+    val brute = all.as("a").join(all.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(Ann.cosine(col("a.embedding"), col("b.embedding")) >= 0.9)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    assert(brute.count() >= emb.count(), "every planted copy pairs with its base")
+    assert(pairs.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(pairs).count() == 0)
+  }
+
+  test("dedup hot-key caps are metered, never silent") {
+    // boilerplate corpus: one 15-token run shared by all docs
+    val run = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val boiler = (1L to 6L).map(i => (i, s"$run unique$i")).toDF("doc", "text")
+    val (wPairs, wStats) = Dedup.windowFingerprintWithStats(
+      boiler, "text", "doc", windowTokens = 15, maxDocsPerWindow = 3)
+    assert(wPairs.count() == 0) // every shared window is over the cap
+    val ws = wStats.head()
+    assert(ws.getAs[Long]("hot_windows") == 6L) // 6 windows in the 20-token run
+    assert(ws.getAs[Long]("dropped_rows") == 36L) // 6 windows × 6 docs
+    // minhash: 6 identical docs → every band bucket holds all 6 → capped at 5
+    val same = (1L to 6L).map(i => (i, run)).toDF("doc", "text")
+    val (mPairs, mStats) = Dedup.minhashLshWithStats(
+      same, "text", "doc", tau = 0.8, maxBucket = 5)
+    assert(mPairs.count() == 0)
+    val ms = mStats.head()
+    assert(ms.getAs[Long]("hot_buckets") == 8L) // all 8 bands hot
+    assert(ms.getAs[Long]("dropped_rows") == 48L)
+    // simhash: identical fingerprints → all 8 band buckets hot
+    val (sPairs, sStats) = Dedup.simhashWithStats(
+      same, "text", "doc", maxHamming = 3, maxBucket = 5)
+    assert(sPairs.count() == 0)
+    val ss = sStats.head()
+    assert(ss.getAs[Long]("hot_buckets") == 8L)
+    assert(ss.getAs[Long]("dropped_rows") == 48L)
+  }
+
   test("language id: CJK routed to zh, stopword text to its language") {
     val samples = Seq(
       ("the cat and the dog is in that house for now", "en"),
@@ -189,5 +238,29 @@ class OpsSpec extends AnyFunSuite {
     // frame sampling emits ≥1 row per doc and only for sampled indices
     val frames = Multimodal.sampleFrames(out.filter(col("modality") === "video"), "meta", 10)
     assert(frames.filter(pmod(col("frame_idx"), lit(10)) =!= 0).count() == 0)
+  }
+
+  test("image modality: real PNG payloads, real javax.imageio decode") {
+    val imgs = Multimodal.prepare(docs.limit(90), "doc_id", "text")
+      .filter(col("modality") === "image")
+      .select(col("payload"), col("meta")).collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      val payload = r.getAs[Array[Byte]](0)
+      val meta = r.getStruct(1)
+      // real PNG container
+      assert((payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+        payload(2) == 'N' && payload(3) == 'G')
+      assert(meta.getAs[String]("codec") == "png")
+      // independent decode agrees with the pipeline's decoded metadata
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(img.getWidth == meta.getAs[Int]("width"))
+      assert(img.getHeight == meta.getAs[Int]("height"))
+    }
+    // undecodable bytes → NULL struct, not a task failure
+    import graft.functions.GraftFunctions._
+    val bad = Seq(Array[Byte](1, 2, 3)).toDF("payload")
+      .select(image_decode(col("payload")).as("m")).head()
+    assert(bad.isNullAt(0))
   }
 }

@@ -23,9 +23,9 @@ class QueriesSpec extends AnyFunSuite {
     test(s"query $name runs on sf0.001") {
       val df = fn(spark, sf)
       val n = df.count()
-      // q4/q13/q28 are anti-joins that can legitimately be small but not negative
+      // q4 is an anti-join that can legitimately be empty at tiny scale
       assert(n >= 0)
-      if (!Set("q4_left_anti", "q22_embedding_dups").contains(name))
+      if (name != "q4_left_anti")
         assert(n > 0, s"$name returned no rows")
     }
   }

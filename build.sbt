@@ -29,7 +29,11 @@ val jdk17AddOpens = Seq(
 // small so JVMs start in seconds. Opt into the pre-touched benchmark heap
 // with SPARK_GRAFT_BENCH_HEAP=1 for manual steady-state measurements.
 javaOptions ++= jdk17AddOpens ++ Seq(
-  "-XX:+UseParallelGC",   // batch throughput: allocation-heavy string work
+  // G1, not ParallelGC: on this host/kernel ParallelGC's worker threads
+  // were measured spinning ~100% CPU outside collections (443 s thread CPU
+  // vs 4 s of actual GC), polluting every core; G1 shows no such spin and
+  // a 2x faster pure-CPU probe under identical load.
+  "-XX:+UseG1GC",
   "-XX:ParallelGCThreads=8", // pinned: GC cost must not vary with local[N] level
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -13,11 +13,16 @@ import graft.pipeline.EntityResolution
  */
 object ScaleRunner {
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def phase(m: String): Unit =
+      System.err.println(f"[scale-phase] +${(System.nanoTime() - t0) / 1e9}%.0fs $m")
+    phase("main")
     val cpus = args(0).toInt
     val corpus = args(1)
     val warmupCorpus = args(2)
     val stageDiag = sys.env.get("SPARK_GRAFT_STAGES").contains("1")
     val spark = graft.GraftSession.create(cpus, s"graft-scale-$cpus")
+    phase("session up")
     val taskTime = new java.util.concurrent.atomic.AtomicLong()
     val cpuTime = new java.util.concurrent.atomic.AtomicLong()
     val gcTime = new java.util.concurrent.atomic.AtomicLong()
@@ -52,8 +57,10 @@ object ScaleRunner {
       (secs, docs)
     }
     run(warmupCorpus) // warm everything: JIT, codegen, page cache, shuffle path
+    phase("warmup done")
     taskTime.set(0); cpuTime.set(0); gcTime.set(0); stageRows.clear()
     val (sec, docs) = run(corpus) // measured, steady-state
+    phase("measured done")
     val measuredTask = taskTime.get()
     val measuredCpu = cpuTime.get()
     val measuredGc = gcTime.get()
@@ -68,7 +75,7 @@ object ScaleRunner {
     import org.apache.spark.sql.functions._
     def probe(): Double = {
       val c0 = taskTime.get()
-      spark.range(0, 300000000L, 1, cpus * 4)
+      spark.range(0, 150000000L, 1, cpus * 4)
         .select(sum(pmod(xxhash64(xxhash64(xxhash64(col("id")))), lit(1000000007L)))).head()
       (taskTime.get() - c0) / 1000.0
     }
@@ -78,5 +85,10 @@ object ScaleRunner {
       f"taskSec=${measuredTask / 1000.0}%.1f cpuSec=${measuredCpu / 1000.0}%.1f " +
       f"gcSec=${measuredGc / 1000.0}%.1f util=$util%.2f calCoreSec=$calCoreSec%.2f")
     spark.stop()
+    // clean up tmpfs stage tables (Bench points java.io.tmpdir at /dev/shm)
+    val tmp = System.getProperty("java.io.tmpdir")
+    if (tmp != null && tmp.startsWith("/dev/shm/graft-scale"))
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      catch { case _: Exception => }
   }
 }

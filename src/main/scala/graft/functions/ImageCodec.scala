@@ -22,6 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object ImageCodec {
 
+  // disk-backed ImageIO stream caching defaults ON — that is a temp-file
+  // create+delete PER DECODED ROW in the executor hot path (and lands in
+  // /dev/shm when the bench redirects tmpdir); byte-array inputs need no
+  // cache file at all
+  ImageIO.setUseCache(false)
+
   private def mix64(z0: Long): Long = {
     // splitmix64 finalizer (public-domain constant set)
     var z = z0 + 0x9e3779b97f4a7c15L

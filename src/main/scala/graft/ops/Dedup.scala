@@ -79,12 +79,17 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct() // dedup band collisions BEFORE the expensive exact stage
-    val toks = df.select(col(idCol).as("id"), token_hashes(norm).as("tok"))
+    // exact stage joins PACKED token sets (delta+varint, ~2x fewer bytes
+    // than raw long arrays — see Sim.packTokenHashes for the truncation
+    // exactness math); jaccard values equal the 64-bit computation on any
+    // corpus whose distinct-token universe is collision-free at 32 bits
+    // (spec-gated for the generator vocabulary)
+    val toks = df.select(col(idCol).as("id"), pack_tokens(norm, 32).as("tok"))
     val pairs = cand
       .join(toks.select(col("id").as("id_a"), col("tok").as("tok_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("tok").as("tok_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        token_jaccard_sorted(col("tok_a"), col("tok_b")).as("jaccard"))
+        packed_jaccard(col("tok_a"), col("tok_b")).as("jaccard"))
       .filter(col("jaccard") >= tau)
     (pairs, stats)
   }
@@ -143,9 +148,23 @@ object Dedup {
    * documents have near-equal token counts, so pairing only adjacent length
    * buckets keeps candidates linear while preserving recall for same-length
    * perturbed copies. Jaccard composed from codegen'd built-ins.
+   *
+   * Length classes CONCENTRATE on real corpora (most crawled pages cluster
+   * in a few ~10-token-wide classes), so an uncapped length-bucket self-join
+   * goes quadratic at scale: buckets above `maxBucket` rows are dropped with
+   * a metered count — the same hot-key discipline as [[minhashLshWithStats]]
+   * / [[simhashWithStats]], never silent.
    */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
-                   n: Int = 3, tau: Double = 0.5): DataFrame = {
+                   n: Int = 3, tau: Double = 0.5,
+                   maxBucket: Int = 5000): DataFrame =
+    ngramJaccardWithStats(df, textCol, idCol, n, tau, maxBucket)._1
+
+  /** [[ngramJaccard]] plus a one-row stats frame (n_buckets / hot_buckets /
+    * dropped_rows) metering the hot-length-class drops. */
+  def ngramJaccardWithStats(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, tau: Double = 0.5,
+                   maxBucket: Int = 5000): (DataFrame, DataFrame) = {
     def grams(c: Column): Column = {
       val toks = split(c, " ")
       val cnt = greatest(size(toks) - (n - 1), lit(1)) // short text → 1 gram
@@ -157,15 +176,27 @@ object Dedup {
       .withColumn("lenb", (size(split(col("txt"), " ")) / 10).cast("int"))
     val buckets = prep.select(col("id"), col("grams"),
       explode(array(col("lenb"), col("lenb") + 1)).as("bucket"))
-    val a = buckets.select(col("bucket"), col("id").as("id_a"), col("grams").as("g_a"))
-    val b = buckets.select(col("bucket"), col("id").as("id_b"), col("grams").as("g_b"))
-    a.join(b, "bucket")
+    val sizes = buckets.groupBy("bucket").agg(count(lit(1)).as("n"))
+    val hot = sizes.filter(col("n") > maxBucket)
+    val stats = sizes.agg(
+      count(lit(1)).as("n_buckets"),
+      coalesce(sum("n"), lit(0L)).as("n_bucket_rows"),
+      coalesce(max("n"), lit(0L)).as("max_bucket"),
+      coalesce(sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L))), lit(0L))
+        .as("hot_buckets"),
+      coalesce(sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L))), lit(0L))
+        .as("dropped_rows"))
+    val cool = buckets.join(broadcast(hot), Seq("bucket"), "left_anti")
+    val a = cool.select(col("bucket"), col("id").as("id_a"), col("grams").as("g_a"))
+    val b = cool.select(col("bucket"), col("id").as("id_b"), col("grams").as("g_b"))
+    val pairs = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))).cast("double")).as("jaccard"))
       .distinct()
       .filter(col("jaccard") >= tau)
+    (pairs, stats)
   }
 
   /**

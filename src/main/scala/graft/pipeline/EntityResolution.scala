@@ -46,6 +46,12 @@ object EntityResolution {
       wTokenJaccard: Double = 0.50,
       wLevenshtein: Double = 0.15,
       titleTokens: Int = 8,
+      // token-hash truncation width for the packed token sets (the widest
+      // per-record stage payload): 32 cuts records-table and funnel-join
+      // bytes ~2x vs raw 64-bit long arrays; per-pair jaccard perturbation
+      // probability is ~n_a·n_b/2^bits (≈1e-5 at 200-token docs), magnitude
+      // ≤ 1/|union| — see Sim.packTokenHashes. 64 = lossless mode.
+      tokenBits: Int = 32,
       checkpointDir: Option[String] = None,
       // stage-materialization dir (normalized records, match edges). Parquet
       // materialization replaces block-manager caching: measured on this
@@ -54,6 +60,17 @@ object EntityResolution {
       // scales ~1.0 — and a durable columnar checkpoint is the design that
       // survives at 100 TB anyway (maps to an Iceberg table per stage).
       workDir: Option[String] = None)
+
+  /** The semantic parameters whose equality the incremental exactness proof
+    * depends on (blocking keys, SN windows, funnel weights/threshold, token
+    * truncation). Persisted per state dir; resolveIncremental requires the
+    * prior run used the SAME signature — a changed snWindow/blocking config
+    * between runs would silently break the "old×old SN pairs only shrink"
+    * subset argument. Dirs are excluded (they don't affect results). */
+  private def configSig(cfg: Config): String =
+    s"blocking=${cfg.blocking};tau=${cfg.tau};wJW=${cfg.wJaroWinkler};" +
+      s"wTJ=${cfg.wTokenJaccard};wLev=${cfg.wLevenshtein};" +
+      s"titleTokens=${cfg.titleTokens};tokenBits=${cfg.tokenBits}"
 
   private val workCounter = new java.util.concurrent.atomic.AtomicInteger()
   private def freshWorkDir(): String = {
@@ -84,15 +101,18 @@ object EntityResolution {
           regexp_extract(col("url"), "/([^/?]+)/?(\\?.*)?$", 1), "-")), " "))
   }
 
-  /** normalize + minhash signature + token-hash set + token count (computed
-    * once in the scan stage, persisted with records — never recomputed per
-    * pass/pair). */
+  /** normalize + minhash signature + packed token-hash set + token count
+    * (computed once in the scan stage, persisted with records — never
+    * recomputed per pass/pair). `tok` is the delta+varint-packed binary form
+    * (Sim.packTokenHashes): ~2x fewer bytes than a raw long array through
+    * every downstream scan and shuffle; `n_tok` reads its O(1) count prefix
+    * (Catalyst subexpression elimination evaluates the pack once). */
   def normalizeWithSig(pages: DataFrame, cfg: Config): DataFrame =
     normalize(pages)
       .withColumn("sig",
         minhash_sig(col("text_norm"), cfg.blocking.shingleSize, cfg.blocking.minhashHashes))
-      .withColumn("tok", token_hashes(col("text_norm")))
-      .withColumn("n_tok", size(col("tok")))
+      .withColumn("tok", pack_tokens(col("text_norm"), cfg.tokenBits))
+      .withColumn("n_tok", packed_count(col("tok")))
 
   /** Ensemble score ∈ [0,1] for a pair of normalized records. */
   def scoreExpr(cfg: Config,
@@ -117,14 +137,14 @@ object EntityResolution {
    *   wJW·jw + wLev·lev + wTJ·bound < tau,
    * i.e. when even the maximum possible token-jaccard cannot reach tau —
    * the prefilter is PROVABLY lossless for every weight/tau configuration.
-   * Only survivors join the precomputed sorted token-hash sets (~0.8 KB/row
+   * Only survivors join the precomputed packed token sets (~0.4 KB/row
    * instead of ~2.5 KB raw text) for the exact jaccard term.
    */
   def scorePairs(pairs: DataFrame, records: DataFrame, cfg: Config): DataFrame = {
     val withTok = if (records.columns.contains("tok")) records
       else records
-        .withColumn("tok", token_hashes(col("text_norm")))
-        .withColumn("n_tok", size(col("tok")))
+        .withColumn("tok", pack_tokens(col("text_norm"), cfg.tokenBits))
+        .withColumn("n_tok", packed_count(col("tok")))
     val lightA = withTok.select(col("id").as("main_id"),
       col("title_norm").as("title_a"), col("n_tok").as("n_a"))
     val lightB = withTok.select(col("id").as("sub_id"),
@@ -141,14 +161,16 @@ object EntityResolution {
       .filter(lit(cfg.wJaroWinkler) * col("jw") + lit(cfg.wLevenshtein) * col("lev") +
         lit(cfg.wTokenJaccard) * tjBound >= cfg.tau)
       .select(col("main_id"), col("sub_id"), col("jw"), col("lev"))
-    // exact stage: shuffle precomputed sorted token-hash sets for survivors
-    // only; jaccard value is identical to scoring the raw text
+    // exact stage: shuffle precomputed PACKED token sets for survivors only
+    // (~0.4 KB/row packed vs ~1.2 KB as a raw long array vs ~2.5 KB raw
+    // text); the streaming-merge jaccard value is identical to scoring the
+    // sorted hash arrays
     val tokA = withTok.select(col("id").as("main_id"), col("tok").as("tok_a"))
     val tokB = withTok.select(col("id").as("sub_id"), col("tok").as("tok_b"))
     pre.join(tokA, "main_id").join(tokB, "sub_id")
       .select(col("main_id"), col("sub_id"),
         (lit(cfg.wJaroWinkler) * col("jw") +
-          lit(cfg.wTokenJaccard) * token_jaccard_sorted(col("tok_a"), col("tok_b")) +
+          lit(cfg.wTokenJaccard) * packed_jaccard(col("tok_a"), col("tok_b")) +
           lit(cfg.wLevenshtein) * col("lev"))
           .as("score"))
   }
@@ -181,6 +203,7 @@ object EntityResolution {
         "domain_key", "sort_key", "sig", "tok", "n_tok")
       .write.mode("overwrite").parquet(recPath)
     writeRecordsList(work, Seq(recPath))
+    writeConfigSig(work, cfg)
     val records = spark.read.parquet(recPath)
 
     if (auditIds) {
@@ -268,12 +291,23 @@ object EntityResolution {
     val work = cfg.workDir.getOrElse(freshWorkDir())
     require(work != priorWorkDir, "incremental output workDir must differ from prior state dir")
 
+    // the incremental ≡ full-re-resolve proof assumes the prior run's
+    // semantic config equals this one's (SN drift / key-diff arguments are
+    // config-relative) — refuse a mismatched fold instead of silently
+    // diverging from a full re-resolve
+    val priorSig = readConfigSig(priorWorkDir)
+    require(priorSig.forall(_ == configSig(cfg)),
+      s"config changed since prior state was written:\n  prior: ${priorSig.get}" +
+        s"\n  now:   ${configSig(cfg)}\nincremental ≡ full only holds under an " +
+        "identical config; run a full re-resolve instead")
+
     val oldPaths = readRecordsList(priorWorkDir)
     // the manifest chains across all prior state dirs (immutable files are
     // never copied forward) — fail with a clear chain-broken error instead
-    // of a deep parquet path-not-found if an earlier dir was deleted
+    // of a deep parquet path-not-found if an earlier dir was deleted or
+    // partially vacuumed (dir kept, part files gone — hence BOTH checks)
     val missing = oldPaths.filterNot(p =>
-      new java.io.File(p, "_SUCCESS").exists() || new java.io.File(p).exists())
+      new java.io.File(p).isDirectory && new java.io.File(p, "_SUCCESS").exists())
     require(missing.isEmpty,
       s"records manifest chain broken — prior state files missing: " +
         s"${missing.mkString(", ")} (earlier incremental state dirs must " +
@@ -300,6 +334,7 @@ object EntityResolution {
         "(re-crawl/update); dedupe the batch or run a compacting re-resolve " +
         "— blind append would duplicate RecordId rows")
     writeRecordsList(work, oldPaths :+ newRecPath)
+    writeConfigSig(work, cfg)
     val records = spark.read.parquet((oldPaths :+ newRecPath): _*)
     val newIds = newRecords.select(col("id"))
     if (auditIds) {
@@ -440,6 +475,17 @@ object EntityResolution {
   private def writeRecordsList(work: String, paths: Seq[String]): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(work, "records.list"), paths.mkString("\n"))
+
+  private def writeConfigSig(work: String, cfg: Config): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(work, "config.sig"), configSig(cfg))
+
+  /** None only for pre-signature state dirs (written by older builds). */
+  private def readConfigSig(work: String): Option[String] = {
+    val p = java.nio.file.Paths.get(work, "config.sig")
+    if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p))
+    else None
+  }
 
   private def readRecordsList(work: String): Seq[String] = {
     val p = java.nio.file.Paths.get(work, "records.list")

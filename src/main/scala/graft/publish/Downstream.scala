@@ -83,7 +83,12 @@ object Downstream {
       .join(cnt.select(col("i").as("target_item"), col("cnt").as("cnt_t")), "target_item")
       .join(cnt.select(col("i").as("co_item"), col("cnt").as("cnt_c")), "co_item")
       .select(col("target_item"), col("co_item"),
-        expr("(co * co * 1000000L) div (cnt_t * cnt_c)").as("sim"))
+        // co² in decimal: co*co*1e6 overflows Long once co ≳ 3e6 (Spark
+        // would wrap silently under non-ANSI mode → negative sims → wrong
+        // top-N, exactly at the scale the fixed-point design targets);
+        // decimal(38,0) holds co up to ~1e16. `div` stays integral-exact.
+        expr("(cast(co AS decimal(38,0)) * co * 1000000) div (cnt_t * cnt_c)")
+          .as("sim"))
     val affinity = inter.select(col("u").as("user_id"), col("i").as("co_item"))
       .join(sim, "co_item")
       .groupBy(col("target_item").as("item_id"), col("user_id"))

@@ -123,4 +123,21 @@ class IncrementalSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("re-crawl"))
   }
+
+  test("config guard: folding with a changed config fails fast (exactness is config-relative)") {
+    val all = graft.testgen.WebCorpus.pages(spark, 200).toDF()
+    val isNew = pmod(xxhash64(col("url")), lit(5)) === 4
+    val d1 = Files.createTempDirectory("graft-cfg1").toString
+    val d2 = Files.createTempDirectory("graft-cfg2").toString
+    EntityResolution.resolve(all.filter(!isNew),
+      EntityResolution.Config(workDir = Some(d1))).integrated.count()
+    val changed = EntityResolution.Config(
+      blocking = graft.blocking.Blocking.Config(snWindow = 7),
+      workDir = Some(d2))
+    val ex = intercept[IllegalArgumentException] {
+      EntityResolution.resolveIncremental(all.filter(isNew), d1, changed)
+        .integrated.count()
+    }
+    assert(ex.getMessage.contains("config changed"))
+  }
 }

@@ -185,6 +185,22 @@ class OpsSpec extends AnyFunSuite {
     val ss = sStats.head()
     assert(ss.getAs[Long]("hot_buckets") == 8L)
     assert(ss.getAs[Long]("dropped_rows") == 48L)
+    // ngram: a planted hot LENGTH class (every real corpus concentrates
+    // document lengths) — drops must be metered, cool classes still pair
+    val hotLen = (1L to 8L).map(i =>
+      (i, (1 to 20).map(j => s"w${i}_$j").mkString(" "))) // 20 tokens → lenb 2
+    val coolLen = Seq(
+      (100L, (1 to 35).map(j => s"c$j").mkString(" ")),   // 35 tokens → lenb 3
+      (101L, (1 to 35).map(j => s"c$j").mkString(" ")))
+    val ngramCorpus = (hotLen ++ coolLen).toDF("doc", "text")
+    val (nPairs, nStats) = Dedup.ngramJaccardWithStats(
+      ngramCorpus, "text", "doc", n = 3, tau = 0.4, maxBucket = 6)
+    val ns = nStats.head()
+    assert(ns.getAs[Long]("hot_buckets") >= 2L) // lenb 2 and 3 exploded views
+    assert(ns.getAs[Long]("dropped_rows") >= 16L)
+    // the identical cool-class pair survives; no hot-class doc pairs at all
+    val got = nPairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((100L, 101L)))
   }
 
   test("language id: CJK routed to zh, stopword text to its language") {

@@ -47,6 +47,72 @@ class SimSpec extends AnyFunSuite with PropChecks {
     assert(Sim.tokenJaccard("a a a b", "a b") == 1.0)
   }
 
+  test("packed token sets: roundtrip, count prefix, lossless-mode jaccard equality") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u8(s: String) = UTF8String.fromString(s)
+    // delta+varint roundtrip over arbitrary (incl. negative) sorted-distinct longs
+    check(Prop.forAll { (xs: List[Long]) =>
+      val sorted = xs.distinct.sorted.toArray
+      Sim.unpackLongs(Sim.packLongs(sorted, 64)).sameElements(sorted) &&
+        Sim.packedCount(Sim.packLongs(sorted, 64)) == sorted.length
+    })
+    // bits=64 packing is lossless: packed jaccard == string-token jaccard
+    check(Prop.forAll { (a: String, b: String) =>
+      val pj = Sim.packedJaccard(Sim.packTokenHashes(u8(a), 64),
+        Sim.packTokenHashes(u8(b), 64))
+      math.abs(pj - Sim.tokenJaccard(a, b)) < 1e-12
+    })
+    assert(Sim.packedJaccard(Sim.packTokenHashes(u8(""), 32),
+      Sim.packTokenHashes(u8(""), 32)) == 1.0)
+    assert(Sim.packedJaccard(Sim.packTokenHashes(u8("a b"), 32),
+      Sim.packTokenHashes(u8("c d"), 32)) == 0.0)
+  }
+
+  test("32-bit truncation is collision-free on the generator vocabulary (oracle-exactness proof)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Every token of every generated page text (title + body at ANY corpus
+    // scale) is a word of WebCorpus.Vocab. If no two vocabulary words share
+    // the top 32 bits of their token hash, then NO pair's packed-32 jaccard
+    // can differ from the 64-bit value on ANY generated corpus — the
+    // DuckDB-oracle exactness of q19/er_* is a theorem, not a sample.
+    val hs = graft.testgen.WebCorpus.Vocab.map { w =>
+      val u = UTF8String.fromString(w)
+      Sim.hashUtf8Range(u, 0, u.numBytes(), 0x5eedL)
+    }
+    assert(hs.distinct.length == hs.length)
+    val trunc = hs.map(_ >>> 32)
+    assert(trunc.distinct.length == hs.length,
+      "vocabulary words collide in the top 32 bits — raise Config.tokenBits")
+    // and packed-32 jaccard equals the 64-bit jaccard on real page pairs
+    // (main vs perturbed sub text), end to end through tokenization
+    def u8(s: String) = UTF8String.fromString(s)
+    (0L until 200L).foreach { e =>
+      val body = graft.testgen.WebCorpus.bodyOf(e)
+      val sub = graft.testgen.WebCorpus.perturb(e, body)
+      val pj = Sim.packedJaccard(Sim.packTokenHashes(u8(body), 32),
+        Sim.packTokenHashes(u8(sub), 32))
+      assert(math.abs(pj - Sim.tokenJaccard(body, sub)) < 1e-12)
+    }
+  }
+
+  test("32-bit packing compresses the corpus token sets ~2x vs raw long arrays") {
+    import org.apache.spark.unsafe.types.UTF8String
+    var packed = 0L
+    var raw = 0L
+    var toks = 0L
+    (0L until 200L).foreach { e =>
+      val t = UTF8String.fromString(graft.testgen.WebCorpus.bodyOf(e))
+      val n = Sim.tokenHashes(t).length
+      toks += n
+      raw += 8L * n + 16 // long array payload + UnsafeArrayData header
+      packed += Sim.packTokenHashes(t, 32).length
+    }
+    info(f"packed ${packed.toDouble / toks}%.2f B/token vs raw 8 B/token " +
+      f"(${raw.toDouble / packed}%.2fx)")
+    assert(packed.toDouble <= 0.55 * raw,
+      f"packing ratio regressed: $packed vs $raw raw bytes")
+  }
+
   test("minhash: deterministic, and similar docs collide more") {
     val a = "the quick brown fox jumps over the lazy dog again and again today"
     val b = "the quick brown fox jumps over the lazy cat again and again today"
@@ -83,6 +149,13 @@ class SimSpec extends AnyFunSuite with PropChecks {
       assert(math.abs(r.getDouble(0) - Sim.jaroWinkler(x, y)) < 1e-12)
       assert(math.abs(r.getDouble(1) - Sim.tokenJaccard(x, y)) < 1e-12)
       assert(r.getLong(2) == Sim.simHash(x))
+    }
+    val packedRows = in.toDF("x", "y").select(
+      packed_jaccard(pack_tokens(col("x"), 32), pack_tokens(col("y"), 32)).as("pj"),
+      packed_count(pack_tokens(col("x"), 32)).as("pc")).collect()
+    packedRows.zip(in).foreach { case (r, (x, y)) =>
+      assert(math.abs(r.getDouble(0) - Sim.tokenJaccard(x, y)) < 1e-12)
+      assert(r.getInt(1) == x.split(' ').distinct.length)
     }
   }
 }

@@ -36,6 +36,22 @@ object GraftSession {
     val shm = new java.io.File("/dev/shm")
     val useTmpfs = sys.env.getOrElse("SPARK_GRAFT_TMPFS", "1") != "0" &&
       shm.isDirectory && shm.canWrite && shm.getUsableSpace > (16L << 30)
+    // sweep shuffle dirs left by DEAD graft processes: Spark deletes its
+    // blockmgr subdirs on clean stop but never the configured local.dir
+    // root, and a killed JVM leaks contents too — on a shared RAM-backed
+    // tmpfs these accumulate across sessions/rounds
+    if (useTmpfs) shm.listFiles() match {
+      case null => ()
+      case fs => fs.foreach { f =>
+        val n = f.getName
+        if (n.startsWith("graft-spark-"))
+          try {
+            val pid = n.stripPrefix("graft-spark-").toLong
+            val alive = ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+            if (!alive) org.apache.commons.io.FileUtils.deleteDirectory(f)
+          } catch { case _: Exception => }
+      }
+    }
     val withDir = if (useTmpfs)
       b.config("spark.local.dir",
         s"/dev/shm/graft-spark-${ProcessHandle.current().pid()}")

@@ -262,17 +262,21 @@ object SparkEntry {
     // ------------------------------------------------- multimodal plumbing
     "q25_multimodal" -> ((s, d) => {
       val prepared = Multimodal.prepare(t(s, d, "documents"), "doc_id", "text")
-      // decode output materialized for the oracle: the stub decode itself is
-      // not the contract (no codecs in this sandbox); the resize math,
-      // modality routing and feature shape ARE — DuckDB recomputes them
+      // decode output materialized for the oracle: image width/height come
+      // from the real javax.imageio decode and audio sample_rate from the
+      // real javax.sound.sampled decode (the video stub is the only derived
+      // metadata); the resize math, modality routing and feature shape are
+      // recomputed by DuckDB from the materialized decode results
       sideTable(s, d, "mm_meta") {
         prepared.select(col("doc_id"), col("modality"),
           col("meta").getField("width").as("width"),
-          col("meta").getField("height").as("height"))
+          col("meta").getField("height").as("height"),
+          col("meta").getField("sample_rate").as("sample_rate"))
       }
       prepared
         .select(col("doc_id"), col("modality"),
           col("meta").getField("width").as("width"),
+          col("meta").getField("sample_rate").as("sample_rate"),
           col("meta_resized").getField("width").as("width_resized"),
           size(col("features")).as("feat_dim"))
         .orderBy("doc_id")
@@ -558,7 +562,7 @@ object SparkEntry {
          |r AS (SELECT query_id, item_id, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, item_id ASC) AS rank FROM s)
          |SELECT query_id, item_id, rank FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q25_multimodal" ->
-      s"""SELECT doc_id, modality, width,
+      s"""SELECT doc_id, modality, width, sample_rate,
          |CAST(floor(width * least(1.0, 512.0 / greatest(width, height))) AS INT) AS width_resized,
          |16 AS feat_dim
          |FROM '$Mat/mm_meta.parquet/*.parquet' ORDER BY doc_id""".stripMargin,

@@ -211,6 +211,44 @@ case class ImageDecodeExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Deterministic WAV synthesis from a 64-bit seed (real RIFF container via
+  * javax.sound.sampled — the generator analog of a crawled audio payload). */
+case class WavEncodeExpr(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "wav_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    AudioCodec.encodeWav(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AudioCodec.encodeWav($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** REAL audio decode (javax.sound.sampled, JDK built-in): full PCM decode of
+  * the payload bytes → (sample_rate, n_frames, channels, codec), NULL for
+  * undecodable bytes (mirror of [[ImageDecodeExpr]]). */
+case class AudioDecodeExpr(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("codec", StringType)))
+  override def nullable: Boolean = true // undecodable bytes → NULL struct
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "audio_decode"
+  override protected def nullSafeEval(v: Any): Any =
+    AudioCodec.decode(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.AudioCodec.decode($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points (`import graft.functions.GraftFunctions._`). */
 object GraftFunctions {
   private def col(e: Expression): Column = Shim.column(e)
@@ -232,6 +270,8 @@ object GraftFunctions {
   def ascii_lower(c: Column): Column = col(AsciiLowerExpr(expr(c)))
   def png_encode(seed: Column): Column = col(PngEncodeExpr(expr(seed)))
   def image_decode(payload: Column): Column = col(ImageDecodeExpr(expr(payload)))
+  def wav_encode(seed: Column): Column = col(WavEncodeExpr(expr(seed)))
+  def audio_decode(payload: Column): Column = col(AudioDecodeExpr(expr(payload)))
 
   /** Register all as SQL temp functions so `spark.sql` text can use them. */
   def register(spark: SparkSession): Unit = {

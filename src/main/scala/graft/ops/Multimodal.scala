@@ -11,13 +11,14 @@ import graft.functions.Sim
  * `binary` columns with a typed metadata struct; decode / feature-extract /
  * resize / frame-sample are per-batch transforms.
  *
- * The IMAGE modality is decoded for REAL: payloads are genuine PNG bytes
- * (deterministically synthesized per doc — the sandbox stand-in for crawled
- * image bytes) and `image_decode` runs a full javax.imageio raster decode,
- * reporting the actual dimensions/format. Audio/video remain STUBBED (no
- * audio/video codec ships with the JDK): `decodeStub` derives deterministic
- * fake metadata from a content hash; swapping in a real decoder is a
- * one-function change, marked below.
+ * The IMAGE and AUDIO modalities are decoded for REAL: image payloads are
+ * genuine PNG bytes decoded by a full javax.imageio raster decode
+ * (ImageCodec), audio payloads are genuine PCM WAV bytes decoded by a full
+ * javax.sound.sampled PCM read (AudioCodec) — both JDK built-ins, both
+ * reporting metadata read back from the container, not derived. Only VIDEO
+ * remains STUBBED (no video codec ships with the JDK): `decodeStub` derives
+ * deterministic fake metadata from a content hash; swapping in a real
+ * decoder is a one-function change, marked below.
  */
 object Multimodal {
 
@@ -26,12 +27,12 @@ object Multimodal {
     "sample_rate: INT, n_frames: INT, codec: STRING>"
 
   /**
-   * Deterministic fake decode for AUDIO/VIDEO — REPLACE WITH REAL CODEC
-   * HERE (ffmpeg bindings on a real deployment; the JDK has no audio/video
-   * codec). Image rows never reach this: they take the real
-   * javax.imageio path in [[prepare]]. The stub derives plausible metadata
-   * from the payload hash so tests exercise the full dataflow
-   * deterministically.
+   * Deterministic fake decode for VIDEO — REPLACE WITH REAL CODEC HERE
+   * (ffmpeg bindings on a real deployment; the JDK has no video codec).
+   * Image and audio rows never reach this: they take the real
+   * javax.imageio / javax.sound.sampled paths in [[prepare]]. The stub
+   * derives plausible metadata from the payload hash so tests exercise the
+   * full dataflow deterministically.
    */
   def decodeStub(payload: Column, modality: Column): Column = {
     val h = xxhash64(payload)
@@ -91,15 +92,18 @@ object Multimodal {
       (pmod(xxhash64(col(idCol)), lit(3L)) + 1).cast("int"))
     docs.select(col(idCol), col(textCol))
       .withColumn("modality", modality)
-      // image rows carry REAL PNG bytes; audio/video payloads remain the
-      // text-bytes stand-in (no JDK codec to decode them with)
+      // image rows carry REAL PNG bytes and audio rows REAL PCM WAV bytes;
+      // video payloads remain the text-bytes stand-in (no JDK video codec)
       .withColumn("payload",
         when(col("modality") === "image", png_encode(xxhash64(col(idCol))))
+          .when(col("modality") === "audio", wav_encode(xxhash64(col(idCol))))
           .otherwise(col(textCol).cast("binary")))
-      // image metadata comes from a REAL javax.imageio raster decode of the
-      // payload — width/height/codec are read back from the PNG, not derived
+      // image/audio metadata comes from REAL javax.imageio /
+      // javax.sound.sampled decodes of the payload — dimensions, sample
+      // rate, frame count and codec are read back from the container bytes
       .withColumn("meta", {
         val dec = image_decode(col("payload"))
+        val adec = audio_decode(col("payload"))
         when(col("modality") === "image", struct(
           col("modality").as("modality"),
           dec.getField("width").as("width"),
@@ -107,6 +111,13 @@ object Multimodal {
           lit(null).cast("int").as("sample_rate"),
           lit(null).cast("int").as("n_frames"),
           dec.getField("codec").as("codec")))
+          .when(col("modality") === "audio", struct(
+            col("modality").as("modality"),
+            lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            adec.getField("sample_rate").as("sample_rate"),
+            adec.getField("n_frames").as("n_frames"),
+            adec.getField("codec").as("codec")))
           .otherwise(decodeStub(col("payload"), col("modality")))
       })
       .withColumn("features", featureStub(col("payload"), dim))

@@ -46,6 +46,12 @@ object ScaleRunner {
           si.name.takeWhile(_ != '\n').take(60))
       }
     })
+    // Host CPU accounting via HostStat: `steal` is time our vCPUs were
+    // runnable but the hypervisor ran someone else — on this shared-tenant
+    // Firecracker host the direct cause of the measured 2-4x same-work wall
+    // swings. Sampled around the measured section so the bench JSON
+    // separates host interference (steal) from pipeline scaling.
+    def procStat(): (Double, Double) = HostStat.procStat()
     def run(path: String): (Double, Long) = {
       val pages = spark.read.parquet(path)
       val t0 = System.nanoTime()
@@ -58,9 +64,21 @@ object ScaleRunner {
     }
     run(warmupCorpus) // warm everything: JIT, codegen, page cache, shuffle path
     phase("warmup done")
+    // The window may have turned during the ~1 min of JVM startup + warmup:
+    // re-check steal AT this level's concurrency immediately before the
+    // measured run (bounded wait; the wall Bench subtracts as overhead grows
+    // by the wait, honestly). Steal observed DURING the measured section is
+    // reported regardless.
+    HostStat.awaitQuiet(threads = math.min(cpus, 8), maxTries = 4,
+      okSteal = 0.15, canWait = () => true,
+      log = m => System.err.println(s"[scale-gate] $m"))
     taskTime.set(0); cpuTime.set(0); gcTime.set(0); stageRows.clear()
+    val (busy0, steal0) = procStat()
     val (sec, docs) = run(corpus) // measured, steady-state
+    val (busy1, steal1) = procStat()
     phase("measured done")
+    val stealSec = steal1 - steal0
+    val busySec = busy1 - busy0
     val measuredTask = taskTime.get()
     val measuredCpu = cpuTime.get()
     val measuredGc = gcTime.get()
@@ -83,7 +101,8 @@ object ScaleRunner {
     val calCoreSec = (1 to 2).map(_ => probe()).min
     println(f"[scale] cpus=$cpus sec=$sec%.3f docs=$docs " +
       f"taskSec=${measuredTask / 1000.0}%.1f cpuSec=${measuredCpu / 1000.0}%.1f " +
-      f"gcSec=${measuredGc / 1000.0}%.1f util=$util%.2f calCoreSec=$calCoreSec%.2f")
+      f"gcSec=${measuredGc / 1000.0}%.1f util=$util%.2f calCoreSec=$calCoreSec%.2f " +
+      f"stealSec=$stealSec%.1f busySec=$busySec%.1f")
     spark.stop()
     // clean up tmpfs stage tables (Bench points java.io.tmpdir at /dev/shm)
     val tmp = System.getProperty("java.io.tmpdir")

@@ -279,4 +279,37 @@ class OpsSpec extends AnyFunSuite {
       .select(image_decode(col("payload")).as("m")).head()
     assert(bad.isNullAt(0))
   }
+
+  test("audio modality: real WAV payloads, real javax.sound.sampled decode") {
+    import graft.functions.AudioCodec
+    val auds = Multimodal.prepare(docs.limit(90), "doc_id", "text")
+      .filter(col("modality") === "audio")
+      .select(col("doc_id"), col("payload"), col("meta")).collect()
+    assert(auds.nonEmpty)
+    auds.foreach { r =>
+      val payload = r.getAs[Array[Byte]](1)
+      val meta = r.getStruct(2)
+      // real RIFF/WAVE container
+      assert(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A')
+      assert(meta.getAs[String]("codec") == "wave")
+      // independent decode agrees with the pipeline's decoded metadata
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      assert(ais.getFormat.getSampleRate.toInt == meta.getAs[Int]("sample_rate"))
+      assert(ais.getFrameLength.toInt == meta.getAs[Int]("n_frames"))
+      ais.close()
+    }
+    // n_frames comes from bytes actually decoded: truncating the PCM body
+    // must shrink it, and garbage bytes must yield a NULL struct
+    import graft.functions.GraftFunctions._
+    val wav = AudioCodec.encodeWav(7L)
+    val truncated = java.util.Arrays.copyOf(wav, wav.length - 100)
+    val full = AudioCodec.decode(wav)
+    val part = AudioCodec.decode(truncated)
+    assert(part != null && part.getInt(1) < full.getInt(1))
+    val bad = Seq(Array[Byte](1, 2, 3)).toDF("payload")
+      .select(audio_decode(col("payload")).as("m")).head()
+    assert(bad.isNullAt(0))
+  }
 }

@@ -23,13 +23,14 @@ import graft.testgen.WebCorpus
  *
  * Budget ladder (SPARK_GRAFT_BENCH_BUDGET_SEC, default 700 s), ordered
  * most-informative-first: small pair → local[32] throughput point →
- * incremental-fold probe → 2→8 secondary pair → pair retries / full-corpus
- * upgrade. Retries (which re-roll this shared-tenant host's ±30–300%
- * contention windows, keeping the per-level minimum) spend only LEFTOVER
- * budget — round 3 spent its whole budget re-rolling a bad window and
- * delivered neither the throughput point nor the incremental probe. A
- * complete JSON line is emitted and flushed after every ladder stage, so a
- * timeout anywhere loses nothing already measured.
+ * incremental-fold probe → poisoned-window pair retries → full-corpus 1v4
+ * upgrade → 2→8 secondary pair. Retries spend only LEFTOVER budget (round 3
+ * spent its whole budget re-rolling a bad window and delivered neither the
+ * throughput point nor the incremental probe) and fire ONLY when the
+ * measured steal says interference, not amortization, explains a red pair —
+ * re-rolling a quiet-window measurement cannot change it, while the 5x
+ * corpus can. A complete JSON line is emitted and flushed after every
+ * ladder stage, so a timeout anywhere loses nothing already measured.
  */
 object Bench {
 
@@ -251,17 +252,25 @@ object Bench {
       // faithful stand-in for separately-provisioned clusters of N and 4N
       // executors.
       // live estimate of per-child overhead (JVM init + pre-touch + warmup
-      // + probes): ~45 s on a quiet host, 200 s+ in slow phases
-      var childOverhead = 60.0
+      // + probes), tracked PER CORE COUNT: a 32-core child's overhead
+      // (bigger pre-touched heap, 32-thread warmup under the host quota) is
+      // 4-6x a 1-4 core child's and must not poison the cheaper stages'
+      // budget estimates
+      val overheads = scala.collection.mutable.Map.empty[Int, Double]
+      def childOverhead: Double =
+        if (overheads.isEmpty) 60.0 else overheads.values.min
+      def overheadFor(cpus: Int): Double =
+        overheads.getOrElse(cpus,
+          if (cpus >= 32) 2.5 * childOverhead else childOverhead)
       def run(cpus: Int, ents: Long): ScaleResult = {
         windowGate(cpus, budgetSec) // don't burn a 100s+ child in a bad window
         val small = ents < scaleEntities
         val c = if (small) corpusSmall else corpus
         val r = spawnScaleRun(cpus, c, warmCorpus, small)
-        childOverhead = math.max(20.0, r.wall - r.sec)
+        overheads(cpus) = math.max(20.0, r.wall - r.sec)
         mark(f"scale run cpus=$cpus corpus=$ents done sec=${r.sec}%.1f " +
           f"taskSec=${r.taskSec}%.0f steal=${r.stealPct * 100}%.0f%% " +
-          f"overhead=$childOverhead%.0f")
+          f"overhead=${overheads(cpus)}%.0f")
         r
       }
       def effOf(s1: Double, s4: Double) = (s1 / s4) / 4.0
@@ -291,14 +300,15 @@ object Bench {
       //   1. small (4N, N) pair        — the north-rule raw number
       //   2. local[32] throughput      — the capacity point
       //   3. incremental-fold probe    — the batch-lifecycle evidence
-      //   4. 2→8 secondary pair        — the historically-red trend signal
-      //   5. pair retries / full-size upgrade — only with leftover budget
+      //   4. poisoned-window retries   — only when steal explains the red
+      //   5. full-size 1v4 upgrade     — the best-amortized claim
+      //   6. 2→8 secondary pair        — full-size when affordable
       // A complete JSON line is emitted after EVERY stage, so a budget kill
       // anywhere loses nothing already measured.
       var pairSmall = measurePair(entitiesSmall, None)
       var pairFull: Option[Pair] = None
       var runs32 = Map.empty[Long, ScaleResult]
-      var pair28: Option[(ScaleResult, ScaleResult)] = None // on entitiesSmall
+      var pair28: Option[(Long, ScaleResult, ScaleResult)] = None // (entities, r2, r8)
       val shufflePartitions =
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64").toInt
 
@@ -329,9 +339,12 @@ object Bench {
         val effRaw = effOf(sec1, sec4)
         val tput32 = docs32 / sec32
         val eff32Raw = tput32 / (8.0 * (pair32.r4.docs / pair32.r4.sec))
-        val p28 = pair28.map { case (s2, s8) =>
-          f""","sec_local2":${s2.sec}%.2f,"sec_local8":${s8.sec}%.2f,""" +
-            f""""scaling_efficiency_2_to_8":${effOf(s2.sec, s8.sec)}%.3f"""
+        val p28 = pair28.map { case (e28, s2, s8) =>
+          f""","pair28_entities":$e28,"sec_local2":${s2.sec}%.2f,""" +
+            f""""sec_local8":${s8.sec}%.2f,""" +
+            f""""scaling_efficiency_2_to_8":${effOf(s2.sec, s8.sec)}%.3f,""" +
+            s""""steal_pct_local2":${j(s2.stealPct * 100, "%.1f")},""" +
+            s""""steal_pct_local8":${j(s8.stealPct * 100, "%.1f")}"""
         }.getOrElse("")
         // Per-core frequency calibration: calCoreSec is the summed task time
         // of a FIXED pure-CPU probe at each level's concurrency. freqRatio >
@@ -385,44 +398,52 @@ object Bench {
 
       // stage 2: local[32] throughput point (small corpus — guaranteed
       // delivery; re-run on the full corpus later only if the pair upgrades)
-      if (elapsed + pairSmall.r4.sec + 1.5 * childOverhead < budgetSec) {
+      if (elapsed + pairSmall.r4.sec + overheadFor(32) < budgetSec) {
         runs32 += entitiesSmall -> run(32, entitiesSmall)
         emitStage()
       } else mark("local[32] point skipped (budget)")
 
       // stage 3: incremental-fold probe (batch lifecycle): full re-resolve
-      // vs resolveIncremental of a 20% batch — one in-process session,
+      // vs resolveIncremental of a 4% batch — one in-process session,
       // identical conditions for both sides. The scored-pair counts are the
-      // scale signal (pair scoring dominates at 10^12 docs). Quarter-size
-      // corpus ⇒ ~4 quarter-resolves ≈ one small-corpus local[32] run.
-      val probeEst = runs32.get(entitiesSmall).map(_.sec * 1.5)
-        .getOrElse(pairSmall.r4.sec) + 90
+      // scale signal (pair scoring dominates at 10^12 docs). Regime matters:
+      // a 20% batch on a 38 k-doc corpus measured incremental's fixed
+      // driver-side stage count, not its work saving (speedup 0.43 — an
+      // honest number about the wrong regime); a 4% batch on a half-small
+      // corpus sits where the pair-count saving (~14x) clears the fixed
+      // cost. Session capped at 16 threads — the probe compares two resolves
+      // at the SAME level, and 32 threads on this host sit deep inside the
+      // vCPU quota (measured 21x task inflation).
+      val probeEst = 2.5 * pairSmall.r4.sec + 120
       if (elapsed + probeEst < budgetSec) {
         mark("incremental probe")
         incJson = {
-          val s = session(cpus)
+          val s = session(math.min(cpus, 16))
           try graft.tools.IncrementalProbe.measure(
-            s, materializeCorpus(s, entitiesSmall / 4), mod = 5)
+            s, materializeCorpus(s, entitiesSmall / 2), mod = 25)
           finally s.stop()
         }
         emitStage()
       } else mark("incremental probe skipped (budget)")
 
-      // stage 4: secondary 2→8 pair (historically noisy on this host —
-      // reported for trend visibility)
-      if (elapsed + pairSmall.r1.sec * 0.7 + pairSmall.r4.sec * 0.8 +
-            2 * childOverhead < budgetSec) {
-        pair28 = Some((run(2, entitiesSmall), run(8, entitiesSmall)))
-        emitStage()
-      } else mark("2->8 pair skipped (budget)")
+      // Was the small pair measured in a QUIET window? Steal binds only
+      // under concurrency, so the 4-core side is the exposed one. A
+      // quiet-window eff < 0.8 is an AMORTIZATION shortfall (the per-level
+      // flat driver cost — job scheduling, stage barriers, parquet commits —
+      // is ~14% of a 1-core small-corpus wall and ~36% of its 4-core wall);
+      // the remedy is the 5x corpus, not a re-roll. A poisoned-window red is
+      // interference; the remedy is re-rolling the steal-exposed level.
+      def pairQuiet: Boolean =
+        !(pairSmall.r4.stealPct > 0.10) && !(pairSmall.r1.stealPct > 0.10)
 
-      // stage 5: leftover budget only — retry a red small pair (each retry
-      // re-rolls the contention window; min-per-level folding means every
-      // extra window sample can only sharpen the quiet-host estimate). The
-      // 1-core level is steal-immune (steal binds only under concurrency),
-      // so retries re-roll ONLY the 4-core side unless the 1-core window was
-      // itself poisoned — half the cost, twice the window samples.
-      while (pairSmall.eff < 0.8 && pairSmall.reps < 6 &&
+      // stage 4: poisoned-window retries — ONLY when interference, not
+      // amortization, explains the red: re-roll the steal-exposed 4-core
+      // side (the 1-core side re-runs only if its own window was poisoned);
+      // min-per-level folding means every extra window sample can only
+      // sharpen the quiet-host estimate. Quiet-window reds skip straight to
+      // the full-size upgrade — re-rolling a clean measurement cannot
+      // change it.
+      while (pairSmall.eff < 0.8 && !pairQuiet && pairSmall.reps < 6 &&
              elapsed + pairSmall.r4.sec * 1.2 +
                (if (pairSmall.r1.stealPct > 0.10) pairSmall.r1.sec else 0.0) +
                1.5 * childOverhead < budgetSec) {
@@ -433,6 +454,9 @@ object Bench {
           better(pairSmall.r4, r4), pairSmall.reps + 1)
         emitStage()
       }
+
+      // stage 5: full-size 1-vs-4 upgrade — the best-amortized north-rule
+      // number and the highest-value tail spend once the windows are quiet
       def fullCost = (pairSmall.r1.sec + pairSmall.r4.sec) * 5.5 + 2 * childOverhead
       while ((pairFull.isEmpty || (pairFull.get.eff < 0.8 &&
                pairFull.get.eff < pairSmall.eff)) &&
@@ -441,9 +465,24 @@ object Bench {
         pairFull = Some(measurePair(scaleEntities, pairFull))
         emitStage()
       }
-      // full-corpus throughput point, if the pair upgraded and budget remains
+
+      // stage 6: secondary 2→8 pair — at FULL corpus size when affordable
+      // (same 4x ratio, 5x better flat-cost amortization per level), small
+      // otherwise — then the full-corpus throughput point
+      val cost28Full = pairSmall.r1.sec * 2.7 + pairSmall.r4.sec * 2.5 +
+        overheadFor(2) + overheadFor(8)
+      val cost28Small = pairSmall.r1.sec * 0.7 + pairSmall.r4.sec * 0.8 +
+        overheadFor(2) + overheadFor(8)
+      if (elapsed + cost28Full < budgetSec) {
+        mark(s"2->8 pair at full size ($scaleEntities entities)")
+        pair28 = Some((scaleEntities, run(2, scaleEntities), run(8, scaleEntities)))
+        emitStage()
+      } else if (elapsed + cost28Small < budgetSec) {
+        pair28 = Some((entitiesSmall, run(2, entitiesSmall), run(8, entitiesSmall)))
+        emitStage()
+      } else mark("2->8 pair skipped (budget)")
       if (pairFull.nonEmpty &&
-          elapsed + pairFull.get.r4.sec + 1.5 * childOverhead < budgetSec) {
+          elapsed + pairFull.get.r4.sec + overheadFor(32) < budgetSec) {
         runs32 += scaleEntities -> run(32, scaleEntities)
         emitStage()
       }

@@ -290,6 +290,10 @@ object EntityResolution {
     val spark = newPages.sparkSession
     val work = cfg.workDir.getOrElse(freshWorkDir())
     require(work != priorWorkDir, "incremental output workDir must differ from prior state dir")
+    val tInc0 = System.nanoTime()
+    def ph(m: String): Unit =
+      if (sys.env.get("SPARK_GRAFT_PHASES").contains("1"))
+        System.err.println(f"[inc-phase] +${(System.nanoTime() - tInc0) / 1e9}%.1fs $m")
 
     // the incremental ≡ full-re-resolve proof assumes the prior run's
     // semantic config equals this one's (SN drift / key-diff arguments are
@@ -324,6 +328,7 @@ object EntityResolution {
       .select(oldRecords.columns.map(col): _*)
       .write.mode("overwrite").parquet(newRecPath)
     val newRecords = spark.read.parquet(newRecPath)
+    ph("batch normalized")
     // Re-crawl guard: a batch url already present in prior state would
     // append the same id twice (fanning out every later join and silently
     // duplicating RecordId rows). Cheap: the new-id side is one batch.
@@ -346,6 +351,7 @@ object EntityResolution {
 
     // keys over all records (global re-keying)
     val (keys, blockStats) = materializeKeys(spark, records, work, cfg)
+    ph("keys materialized")
 
     // ---- affected-record detection: the reason `incremental ≡ full
     // re-resolve` holds UNCONDITIONALLY, not just while no block crosses a
@@ -370,10 +376,23 @@ object EntityResolution {
     //      by shared block keys) is the exact stale set.
     val oldKeysPrior = spark.read.parquet(s"$priorWorkDir/keys.parquet")
       .select("id", "block_key")
-    val keyChangedIds = oldKeysPrior.exceptAll(keys.select("id", "block_key"))
-      .union(keys.select("id", "block_key").exceptAll(oldKeysPrior))
-      .select("id").distinct()
+    // per-id sorted key-set compare (one partial-aggregable shuffle per side
+    // + one join on 8-byte ids) rather than two full-table exceptAll diffs —
+    // same EXACT answer, far fewer stages over the widest comparison in the
+    // incremental path
+    def keySets(df: DataFrame) = df.groupBy("id")
+      .agg(sort_array(collect_list(col("block_key"))).as("ks"))
+    val keyChangedLazy = keySets(oldKeysPrior).withColumnRenamed("ks", "ks_prior")
+      .join(keySets(keys.select("id", "block_key")), Seq("id"), "full_outer")
+      .filter(not(col("ks_prior") <=> col("ks")))
+      .select("id")
       .join(newIds, Seq("id"), "left_anti") // new ids trivially "gained" keys
+    // MATERIALIZE the diff: it feeds three separate downstream actions
+    // (scoring, kept-edge filtering, stale-label clustering) and is almost
+    // always empty/tiny — lazy, the full-table diff would run three times
+    keyChangedLazy.write.mode("overwrite").parquet(s"$work/key_changed_ids.parquet")
+    val keyChangedIds = spark.read.parquet(s"$work/key_changed_ids.parquet")
+    ph("key-change diff materialized")
     val seedIds = newIds.union(keyChangedIds).distinct()
     val keysEff = keys.join(seedIds, Seq("id"), "left_semi")
 
@@ -386,6 +405,7 @@ object EntityResolution {
     Blocking.sortedNeighborhoodPairs(snRecords, cfg.blocking)
       .write.mode("overwrite").parquet(s"$work/sn_pairs.parquet")
     val sn = spark.read.parquet(s"$work/sn_pairs.parquet")
+    ph("sn pairs of touched buckets materialized")
     val snSeed = sn.join(seedIds.withColumnRenamed("id", "main_id"), Seq("main_id"), "left_semi")
       .union(sn.join(seedIds.withColumnRenamed("id", "sub_id"), Seq("sub_id"), "left_semi"))
     // prior-run SN pairs of the same buckets (old records only, bucket
@@ -400,7 +420,14 @@ object EntityResolution {
       .join(keys.select(col("id").as("sub_id"), col("block_key")), Seq("sub_id", "block_key"),
         "left_semi")
       .select("main_id", "sub_id")
-    val staleSnPairs = snDropped.join(sharedKey, Seq("main_id", "sub_id"), "left_anti")
+    // MATERIALIZE the stale set: it feeds both edge filtering and stale-label
+    // clustering, and computing it means re-running sorted-neighborhood over
+    // the touched buckets (snPrior) — lazy, that recompute would run once
+    // per consuming action; the set itself is almost always empty/tiny
+    snDropped.join(sharedKey, Seq("main_id", "sub_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$work/stale_sn_pairs.parquet")
+    val staleSnPairs = spark.read.parquet(s"$work/stale_sn_pairs.parquet")
+    ph("sn-drift stale set materialized")
 
     val pairs = Blocking.candidatePairsInvolving(keysEff, keys)
       .union(snSeed).distinct()
@@ -412,6 +439,7 @@ object EntityResolution {
       .select("main_id", "sub_id", "score")
       .write.mode("overwrite").parquet(s"$work/edges_new.parquet")
     val newEdges = spark.read.parquet(s"$work/edges_new.parquet")
+    ph("new-involving pairs scored")
     val droppedStaleEdges = oldEdges.select("main_id", "sub_id", "score")
       .join(staleSnPairs, Seq("main_id", "sub_id"), "left_semi")
     val keptEdges = oldEdges.select("main_id", "sub_id", "score")
@@ -422,6 +450,7 @@ object EntityResolution {
     newEdges.unionByName(keptEdges)
       .write.mode("overwrite").parquet(edgePath)
     val edges = spark.read.parquet(edgePath)
+    ph("edges folded")
 
     // Clustering runs ONLY on the subgraph touched by a new/dropped edge;
     // untouched prior components pass through label-unchanged. Touched
@@ -461,6 +490,7 @@ object EntityResolution {
       .unionByName(untouched.select("node", "component"))
       .write.mode("overwrite").parquet(compPath)
     val components = spark.read.parquet(compPath)
+    ph("clustering folded")
 
     val integrated = buildIntegrated(records, edges, components)
     val urlDim = records.select(col("id"), col("url"))

@@ -98,7 +98,7 @@ object ScaleRunner {
       (taskTime.get() - c0) / 1000.0
     }
     probe() // JIT warm
-    val calCoreSec = (1 to 2).map(_ => probe()).min
+    val calCoreSec = probe() // single measured rep — part of per-child overhead
     println(f"[scale] cpus=$cpus sec=$sec%.3f docs=$docs " +
       f"taskSec=${measuredTask / 1000.0}%.1f cpuSec=${measuredCpu / 1000.0}%.1f " +
       f"gcSec=${measuredGc / 1000.0}%.1f util=$util%.2f calCoreSec=$calCoreSec%.2f " +

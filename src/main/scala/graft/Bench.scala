@@ -21,10 +21,10 @@ import graft.testgen.WebCorpus
  *     with GC threads ∝ cores — the stand-in for separately-provisioned
  *     clusters of N and 4N executors.
  *
- * Budget ladder (SPARK_GRAFT_BENCH_BUDGET_SEC, default 700 s), ordered
- * most-informative-first: small pair → local[32] throughput point →
- * incremental-fold probe → poisoned-window pair retries → full-corpus 1v4
- * upgrade → 2→8 secondary pair. Retries spend only LEFTOVER budget (round 3
+ * Budget ladder (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1000 s), ordered
+ * most-informative-first per unit cost: small pair → incremental-fold probe
+ * → local[32] throughput point → poisoned-window pair retries → full-corpus
+ * 1v4 upgrade → 2→8 secondary pair. Retries spend only LEFTOVER budget (round 3
  * spent its whole budget re-rolling a bad window and delivered neither the
  * throughput point nor the incremental probe) and fire ONLY when the
  * measured steal says interference, not amortization, explains a red pair —
@@ -37,7 +37,12 @@ object Bench {
   private val t0Wall = System.nanoTime()
   private def elapsed: Double = (System.nanoTime() - t0Wall) / 1e9
   private val budgetSec =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "700").toDouble
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1000").toDouble
+  // hard wall cap per scale child: a child that entered a quiet-gated window
+  // can still balloon 5-6x if the window turns mid-run (measured: a 140 s
+  // child taking 747 s) — better to lose that attempt than the whole ladder
+  private val childCapSec =
+    sys.env.getOrElse("SPARK_GRAFT_CHILD_TIMEOUT_SEC", "700").toLong
 
   private def session(cpus: Int): SparkSession =
     GraftSession.create(cpus, s"graft-bench-$cpus")
@@ -107,15 +112,26 @@ object Bench {
     try {
       val t0 = System.nanoTime()
       val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-      val out = new String(proc.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      proc.waitFor()
+      // drain stdout on a reader thread so waitFor can enforce the wall cap
+      // without the pipe buffer deadlocking the child
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val reader = new Thread(() =>
+        try proc.getInputStream.transferTo(outBuf) catch { case _: Exception => })
+      reader.setDaemon(true); reader.start()
+      val capped = !proc.waitFor(childCapSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (capped) { proc.destroyForcibly(); proc.waitFor() }
+      reader.join(5000)
+      val out = outBuf.toString(java.nio.charset.StandardCharsets.UTF_8)
       val wall = (System.nanoTime() - t0) / 1e9
+      // a capped child may have finished MEASURING and hung in JVM
+      // shutdown — if its [scale] line is already on the pipe, keep it
       val m = (raw"\[scale\] cpus=\d+ sec=([0-9.]+) docs=(\d+) taskSec=([0-9.]+) " +
         raw"cpuSec=([0-9.]+) gcSec=([0-9.]+) util=[0-9.]+ calCoreSec=([0-9.]+) " +
         raw"stealSec=(-?[0-9.NaN]+) busySec=(-?[0-9.NaN]+)").r
         .findFirstMatchIn(out)
-        .getOrElse(throw new IllegalStateException(s"scale run failed:\n$out"))
+        .getOrElse(throw new IllegalStateException(
+          if (capped) s"scale child (cpus=$cpus) exceeded ${childCapSec}s wall cap — killed"
+          else s"scale run failed:\n$out"))
       ScaleResult(m.group(1).toDouble, m.group(2).toLong, m.group(6).toDouble,
         wall, m.group(3).toDouble, m.group(4).toDouble, m.group(5).toDouble,
         m.group(7).toDouble, m.group(8).toDouble)
@@ -231,7 +247,11 @@ object Bench {
         val s = session(32)
         val p = materializeCorpus(s, scaleEntities)
         val ps = materializeCorpus(s, entitiesSmall)
-        val w = materializeCorpus(s, scaleEntities / 50) // JIT/codegen warmup
+        // JIT/codegen warmup corpus: just big enough to exercise every code
+        // path — at 32 threads under the host quota, each extra warmup
+        // second is paid per child OUTSIDE the measured section but INSIDE
+        // the budget (a 32-core child measured 206-240 s of overhead)
+        val w = materializeCorpus(s, scaleEntities / 150)
         s.stop(); (p, ps, w)
       }
       // Page-cache warm the corpora before any measured level: a corpus
@@ -298,8 +318,8 @@ object Bench {
       // driver-parsed JSON because window retries were allowed to spend the
       // budget first — retries are the LEAST informative item):
       //   1. small (4N, N) pair        — the north-rule raw number
-      //   2. local[32] throughput      — the capacity point
-      //   3. incremental-fold probe    — the batch-lifecycle evidence
+      //   2. incremental-fold probe    — the batch-lifecycle evidence (cheap)
+      //   3. local[32] throughput      — the capacity point (expensive here)
       //   4. poisoned-window retries   — only when steal explains the red
       //   5. full-size 1v4 upgrade     — the best-amortized claim
       //   6. 2→8 secondary pair        — full-size when affordable
@@ -396,14 +416,15 @@ object Bench {
       }
       emitStage() // stage 1 done: the north-rule pair is on the wire
 
-      // stage 2: local[32] throughput point (small corpus — guaranteed
-      // delivery; re-run on the full corpus later only if the pair upgrades)
-      if (elapsed + pairSmall.r4.sec + overheadFor(32) < budgetSec) {
-        runs32 += entitiesSmall -> run(32, entitiesSmall)
-        emitStage()
-      } else mark("local[32] point skipped (budget)")
+      // fault isolation: a wall-capped or crashed child loses ITS stage,
+      // never the rest of the ladder (every earlier stage is already on the
+      // wire via emitStage)
+      def stage(name: String)(body: => Unit): Unit =
+        try body catch { case e: Throwable =>
+          mark(s"stage '$name' failed - continuing ladder: ${e.getMessage}")
+        }
 
-      // stage 3: incremental-fold probe (batch lifecycle): full re-resolve
+      // stage 2: incremental-fold probe (batch lifecycle): full re-resolve
       // vs resolveIncremental of a 4% batch — one in-process session,
       // identical conditions for both sides. The scored-pair counts are the
       // scale signal (pair scoring dominates at 10^12 docs). Regime matters:
@@ -411,20 +432,40 @@ object Bench {
       // driver-side stage count, not its work saving (speedup 0.43 — an
       // honest number about the wrong regime); a 4% batch on a half-small
       // corpus sits where the pair-count saving (~14x) clears the fixed
-      // cost. Session capped at 16 threads — the probe compares two resolves
-      // at the SAME level, and 32 threads on this host sit deep inside the
-      // vCPU quota (measured 21x task inflation).
-      val probeEst = 2.5 * pairSmall.r4.sec + 120
-      if (elapsed + probeEst < budgetSec) {
+      // cost. Corpus: 2x the pair's (300 k docs) — at 75 k docs a quiet-host
+      // full resolve is so fast (14 s) that incremental's ~12 s of extra
+      // stage waves outweighs scoring 10x fewer pairs; the probe must sit
+      // where scoring dominates stage latency, which is also the only
+      // regime that says anything about 10^12. Session capped at 16
+      // threads — the probe compares two resolves at the SAME level, and 32
+      // threads on this host sit deep inside the vCPU quota. The probe runs
+      // BEFORE the local[32] point: it is reliable and in-process, while a
+      // 32-thread child under the quota has measured 300-530 s of wall —
+      // the expensive stage must not starve the cheap one (it did in two
+      // rehearsals).
+      val probeEst = 5.0 * pairSmall.r4.sec + 150
+      if (elapsed + probeEst < budgetSec) stage("incremental probe") {
         mark("incremental probe")
         incJson = {
           val s = session(math.min(cpus, 16))
           try graft.tools.IncrementalProbe.measure(
-            s, materializeCorpus(s, entitiesSmall / 2), mod = 25)
+            s, materializeCorpus(s, entitiesSmall * 2), mod = 25)
           finally s.stop()
         }
         emitStage()
       } else mark("incremental probe skipped (budget)")
+
+      // stage 3: local[32] throughput point (small corpus — re-run on the
+      // full corpus later only if the pair upgrades). On this host a
+      // 32-thread child pays the vCPU quota on every phase (pre-touch,
+      // warmup, calibration): measured 206-392 s of overhead — budgeted via
+      // its own measured overhead class, never the cheap children's.
+      if (elapsed + pairSmall.r4.sec + overheadFor(32) < budgetSec)
+        stage("local[32] point") {
+          runs32 += entitiesSmall -> run(32, entitiesSmall)
+          emitStage()
+        }
+      else mark("local[32] point skipped (budget)")
 
       // Was the small pair measured in a QUIET window? Steal binds only
       // under concurrency, so the 4-core side is the exposed one. A
@@ -443,27 +484,31 @@ object Bench {
       // sharpen the quiet-host estimate. Quiet-window reds skip straight to
       // the full-size upgrade — re-rolling a clean measurement cannot
       // change it.
-      while (pairSmall.eff < 0.8 && !pairQuiet && pairSmall.reps < 6 &&
-             elapsed + pairSmall.r4.sec * 1.2 +
-               (if (pairSmall.r1.stealPct > 0.10) pairSmall.r1.sec else 0.0) +
-               1.5 * childOverhead < budgetSec) {
-        val r4 = run(4, entitiesSmall)
-        val r1 = if (pairSmall.r1.stealPct > 0.10) run(1, entitiesSmall)
-                 else pairSmall.r1
-        pairSmall = Pair(entitiesSmall, better(pairSmall.r1, r1),
-          better(pairSmall.r4, r4), pairSmall.reps + 1)
-        emitStage()
+      stage("poisoned-window retries") {
+        while (pairSmall.eff < 0.8 && !pairQuiet && pairSmall.reps < 6 &&
+               elapsed + pairSmall.r4.sec * 1.2 +
+                 (if (pairSmall.r1.stealPct > 0.10) pairSmall.r1.sec else 0.0) +
+                 1.5 * childOverhead < budgetSec) {
+          val r4 = run(4, entitiesSmall)
+          val r1 = if (pairSmall.r1.stealPct > 0.10) run(1, entitiesSmall)
+                   else pairSmall.r1
+          pairSmall = Pair(entitiesSmall, better(pairSmall.r1, r1),
+            better(pairSmall.r4, r4), pairSmall.reps + 1)
+          emitStage()
+        }
       }
 
       // stage 5: full-size 1-vs-4 upgrade — the best-amortized north-rule
       // number and the highest-value tail spend once the windows are quiet
       def fullCost = (pairSmall.r1.sec + pairSmall.r4.sec) * 5.5 + 2 * childOverhead
-      while ((pairFull.isEmpty || (pairFull.get.eff < 0.8 &&
-               pairFull.get.eff < pairSmall.eff)) &&
-             elapsed + fullCost < budgetSec) {
-        mark(s"budget allows full-size pair ($scaleEntities entities)")
-        pairFull = Some(measurePair(scaleEntities, pairFull))
-        emitStage()
+      stage("full-size pair upgrade") {
+        while ((pairFull.isEmpty || (pairFull.get.eff < 0.8 &&
+                 pairFull.get.eff < pairSmall.eff)) &&
+               elapsed + fullCost < budgetSec) {
+          mark(s"budget allows full-size pair ($scaleEntities entities)")
+          pairFull = Some(measurePair(scaleEntities, pairFull))
+          emitStage()
+        }
       }
 
       // stage 6: secondary 2→8 pair — at FULL corpus size when affordable
@@ -473,19 +518,20 @@ object Bench {
         overheadFor(2) + overheadFor(8)
       val cost28Small = pairSmall.r1.sec * 0.7 + pairSmall.r4.sec * 0.8 +
         overheadFor(2) + overheadFor(8)
-      if (elapsed + cost28Full < budgetSec) {
+      if (elapsed + cost28Full < budgetSec) stage("2->8 pair (full)") {
         mark(s"2->8 pair at full size ($scaleEntities entities)")
         pair28 = Some((scaleEntities, run(2, scaleEntities), run(8, scaleEntities)))
         emitStage()
-      } else if (elapsed + cost28Small < budgetSec) {
+      } else if (elapsed + cost28Small < budgetSec) stage("2->8 pair (small)") {
         pair28 = Some((entitiesSmall, run(2, entitiesSmall), run(8, entitiesSmall)))
         emitStage()
       } else mark("2->8 pair skipped (budget)")
       if (pairFull.nonEmpty &&
-          elapsed + pairFull.get.r4.sec + overheadFor(32) < budgetSec) {
-        runs32 += scaleEntities -> run(32, scaleEntities)
-        emitStage()
-      }
+          elapsed + pairFull.get.r4.sec + overheadFor(32) < budgetSec)
+        stage("full-corpus local[32]") {
+          runs32 += scaleEntities -> run(32, scaleEntities)
+          emitStage()
+        }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] scale protocol failed: ${e.getMessage}")

@@ -349,22 +349,26 @@ object EntityResolution {
         s"record-id hash collision: ${r.getLong(1)} urls → ${r.getLong(0)} ids")
     }
 
-    // keys over all records (global re-keying)
-    val (keys, blockStats) = materializeKeys(spark, records, work, cfg)
-    ph("keys materialized")
-
-    // ---- affected-record detection: the reason `incremental ≡ full
+    // ---- keys + affected-record detection: the reason `incremental ≡ full
     // re-resolve` holds UNCONDITIONALLY, not just while no block crosses a
     // re-key/drop threshold. Two global effects of a new batch can change
     // what a full run would generate for OLD records:
     //
     //  (a) hot-block re-keying/dropping: an old record's key SET changes
-    //      when its block crosses a size class. Diff the persisted prior
-    //      keys table against the recomputed one; key-changed records are
-    //      folded into the "new" side — their old edges are dropped and all
-    //      their candidates re-derived + re-scored (scoring is a pure
-    //      content function, so surviving edges come back identical). In
-    //      the common case no block crosses a class and this set is empty.
+    //      when its block crosses a size class. The ADDITIVE path
+    //      ([[Blocking.mergeBlockKeys]]) folds the batch's keys into the
+    //      prior run's persisted (keys, rawCounts, sizes2) state: block
+    //      counts are monotone under append-only batches, so crossings —
+    //      and exactly the old records they affect — fall out of the merged
+    //      count tables in O(batch + crossed blocks), with no key
+    //      recomputation over the corpus and no full-table diff. Key-changed
+    //      records are folded into the "new" side — their old edges are
+    //      dropped and all their candidates re-derived + re-scored (scoring
+    //      is a pure content function, so surviving edges come back
+    //      identical). In the common case no block crosses a class and the
+    //      set is empty. A prior state dir from a pre-counts build falls
+    //      back to the legacy recompute-and-diff path (one fold later the
+    //      chain is upgraded, since this run persists its count tables).
     //
     //  (b) sorted-neighborhood drift: new records inserted into a bucket
     //      push old neighbors apart. Insertions can only GROW old×old
@@ -374,25 +378,41 @@ object EntityResolution {
     //      edges dropped. Recompute SN over the touched buckets with and
     //      without the batch: the difference (minus pairs still generated
     //      by shared block keys) is the exact stale set.
-    val oldKeysPrior = spark.read.parquet(s"$priorWorkDir/keys.parquet")
-      .select("id", "block_key")
-    // per-id sorted key-set compare (one partial-aggregable shuffle per side
-    // + one join on 8-byte ids) rather than two full-table exceptAll diffs —
-    // same EXACT answer, far fewer stages over the widest comparison in the
-    // incremental path
-    def keySets(df: DataFrame) = df.groupBy("id")
-      .agg(sort_array(collect_list(col("block_key"))).as("ks"))
-    val keyChangedLazy = keySets(oldKeysPrior).withColumnRenamed("ks", "ks_prior")
-      .join(keySets(keys.select("id", "block_key")), Seq("id"), "full_outer")
-      .filter(not(col("ks_prior") <=> col("ks")))
-      .select("id")
-      .join(newIds, Seq("id"), "left_anti") // new ids trivially "gained" keys
-    // MATERIALIZE the diff: it feeds three separate downstream actions
-    // (scoring, kept-edge filtering, stale-label clustering) and is almost
-    // always empty/tiny — lazy, the full-table diff would run three times
-    keyChangedLazy.write.mode("overwrite").parquet(s"$work/key_changed_ids.parquet")
-    val keyChangedIds = spark.read.parquet(s"$work/key_changed_ids.parquet")
-    ph("key-change diff materialized")
+    val priorHasCounts =
+      new java.io.File(s"$priorWorkDir/raw_counts.parquet/_SUCCESS").exists() &&
+        new java.io.File(s"$priorWorkDir/sizes2.parquet/_SUCCESS").exists()
+    val (keys, blockStats, keyChangedIds) = if (priorHasCounts) {
+      val stager = (name: String, df: DataFrame) => {
+        df.write.mode("overwrite").parquet(s"$work/$name.parquet")
+        ph(s"  keys-fold stage: $name")
+        spark.read.parquet(s"$work/$name.parquet")
+      }
+      val (keysAll, stats, changedOldIds) = Blocking.mergeBlockKeys(
+        spark.read.parquet(s"$priorWorkDir/keys.parquet"),
+        spark.read.parquet(s"$priorWorkDir/raw_counts.parquet"),
+        spark.read.parquet(s"$priorWorkDir/sizes2.parquet"),
+        newRecords, records, cfg.blocking, stager)
+      ph("keys folded additively")
+      (keysAll, stats, changedOldIds)
+    } else {
+      // legacy prior state: recompute keys over all records, then diff
+      // against the prior keys table per id (sorted key-set compare — one
+      // partial-aggregable shuffle per side + one join on 8-byte ids)
+      val (keysFull, stats) = materializeKeys(spark, records, work, cfg)
+      ph("keys materialized (legacy full recompute)")
+      val oldKeysPrior = spark.read.parquet(s"$priorWorkDir/keys.parquet")
+        .select("id", "block_key")
+      def keySets(df: DataFrame) = df.groupBy("id")
+        .agg(sort_array(collect_list(col("block_key"))).as("ks"))
+      keySets(oldKeysPrior).withColumnRenamed("ks", "ks_prior")
+        .join(keySets(keysFull.select("id", "block_key")), Seq("id"), "full_outer")
+        .filter(not(col("ks_prior") <=> col("ks")))
+        .select("id")
+        .join(newIds, Seq("id"), "left_anti") // new ids trivially "gained" keys
+        .write.mode("overwrite").parquet(s"$work/key_changed_ids.parquet")
+      ph("key-change diff materialized")
+      (keysFull, stats, spark.read.parquet(s"$work/key_changed_ids.parquet"))
+    }
     val seedIds = newIds.union(keyChangedIds).distinct()
     val keysEff = keys.join(seedIds, Seq("id"), "left_semi")
 
@@ -526,13 +546,24 @@ object EntityResolution {
 
   /** Compute block keys once and materialize them as a stage table; the
     * stats frame aggregates the deep lineage (so dropped-block metrics stay
-    * exact) while every downstream consumer scans the columnar keys. */
+    * exact) while every downstream consumer scans the columnar keys. The
+    * two count tables (raw block sizes, final block sizes) are persisted
+    * beside the keys — they are the additive state that lets
+    * [[resolveIncremental]] fold a batch's keys in O(batch + crossed
+    * blocks) via [[Blocking.mergeBlockKeys]] instead of recomputing the key
+    * stream over the whole corpus. */
   private def materializeKeys(spark: SparkSession, records: DataFrame,
                               work: String,
                               cfg: Config): (DataFrame, DataFrame) = {
-    val (keys, blockStats) = Blocking.blockKeys(records, cfg.blocking)
+    val (keys, _, rawCounts, sizes2) =
+      Blocking.blockKeysWithCounts(records, cfg.blocking)
     keys.write.mode("overwrite").parquet(s"$work/keys.parquet")
-    (spark.read.parquet(s"$work/keys.parquet"), blockStats)
+    rawCounts.write.mode("overwrite").parquet(s"$work/raw_counts.parquet")
+    sizes2.write.mode("overwrite").parquet(s"$work/sizes2.parquet")
+    // stats over the PERSISTED sizes table — a stats consumer must not
+    // silently re-derive the whole key stream through the lazy lineage
+    (spark.read.parquet(s"$work/keys.parquet"),
+      Blocking.statsOf(spark.read.parquet(s"$work/sizes2.parquet"), cfg.blocking))
   }
 
   /** Map (main_id, sub_id [, score]) back to url space for output/eval. */

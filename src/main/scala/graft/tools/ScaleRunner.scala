@@ -69,7 +69,8 @@ object ScaleRunner {
     // measured run (bounded wait; the wall Bench subtracts as overhead grows
     // by the wait, honestly). Steal observed DURING the measured section is
     // reported regardless.
-    HostStat.awaitQuiet(threads = math.min(cpus, 8), maxTries = 4,
+    HostStat.awaitQuiet(threads = math.min(cpus, 8),
+      maxTries = if (cpus >= 32) 2 else 4, // 32-thread windows rarely clear
       okSteal = 0.15, canWait = () => true,
       log = m => System.err.println(s"[scale-gate] $m"))
     taskTime.set(0); cpuTime.set(0); gcTime.set(0); stageRows.clear()

@@ -60,4 +60,82 @@ class BlockingSpec extends AnyFunSuite {
     // every matched pair shares an identical sort key → SN alone nearly covers
     assert(hit.toDouble / labeled.count() >= 0.95)
   }
+
+  test("sorted-neighborhood pairs are bucket-local (basis of the incremental drift diff)") {
+    val cfg = Blocking.Config()
+    // pairs of a bucket subset computed in isolation == the full run's pairs
+    // restricted to those buckets — exactly the restriction resolveIncremental
+    // makes when it recomputes SN only over touched buckets
+    val inHalf = pmod(xxhash64(substring(col("sort_key"), 1, cfg.snBucketLen)), lit(2)) === 0
+    val half = records.filter(inHalf)
+    assert(half.count() > 100 && half.count() < records.count(), "degenerate bucket split")
+    val got = Blocking.sortedNeighborhoodPairsWithBucket(records, cfg)
+      .filter(pmod(xxhash64(col("bucket")), lit(2)) === 0)
+    val expect = Blocking.sortedNeighborhoodPairsWithBucket(half, cfg)
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0,
+      "SN pairs of a bucket depend on records outside the bucket")
+  }
+
+  test("mergeBlockKeys fold == full recompute (keys, counts, stats, changed-id set)") {
+    // natural WebCorpus block sizes are bimodal (tiny per-entity LSH blocks
+    // vs already-oversized Zipf domain heads), so a threshold CROSSING is
+    // crafted: one hot domain at 60 rows (≤ maxBlock = 64) in the prior
+    // state, pushed to 70 by the batch → every member's key set changes
+    val cfg = Blocking.Config()
+    import spark.implicits._
+    val hotPages = (0 until 35).flatMap { i =>
+      val title = s"gadget review $i"
+      val body = (0 until 30).map(k =>
+        graft.testgen.WebCorpus.Vocab((i * 29 + k * 11) % 400)).mkString(" ")
+      val html = s"<html><head><title>$title</title></head><body>$body</body></html>"
+        .getBytes("UTF-8")
+      Seq(graft.testgen.WebPage(s"https://megahub.example.com/main-it-$i",
+            java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), html, "", "en", "main"),
+          graft.testgen.WebPage(s"https://megahub.example.com/sub-it-$i",
+            java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), html, "", "en", "sub"))
+    }.toDF()
+    val allPages = graft.testgen.WebCorpus.pages(spark, 400).toDF().unionByName(hotPages)
+    val allRecs = EntityResolution.normalizeWithSig(allPages, EntityResolution.Config())
+    val isBatch = col("url").rlike("megahub.*-it-3[0-4]$") // last 5 hot entities = 10 rows
+    val oldRecs = allRecs.filter(!isBatch)
+    val batch = allRecs.filter(isBatch)
+    assert(batch.count() == 10, "crafted batch wrong size")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-keyfold").toString
+    def mat(name: String, df: org.apache.spark.sql.DataFrame) = {
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+      spark.read.parquet(s"$dir/$name")
+    }
+    val (pk0, _, pr0, ps0) = Blocking.blockKeysWithCounts(oldRecs, cfg)
+    val pk = mat("keys_prior", pk0)
+    val pr = mat("raw_prior", pr0)
+    val ps = mat("s2_prior", ps0)
+
+    val all = oldRecs.unionByName(batch)
+    val (keysFold, statsFold, changed) =
+      Blocking.mergeBlockKeys(pk, pr, ps, batch, all, cfg, (n, df) => mat(s"st_$n", df))
+    val (keysFull, statsFull, rawFull, s2Full) = Blocking.blockKeysWithCounts(all, cfg)
+
+    def biEq(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+    assert(biEq(keysFold, keysFull), "folded keys differ from full recompute")
+    assert(biEq(spark.read.parquet(s"$dir/st_raw_counts"), rawFull),
+      "folded raw counts differ")
+    assert(biEq(spark.read.parquet(s"$dir/st_sizes2"), s2Full),
+      "folded final block sizes differ")
+    assert(statsFold.collect().toSeq == statsFull.collect().toSeq,
+      "folded stats frame differs")
+
+    // changed-id set == the exact per-id key-set diff over OLD records
+    def keySets(df: org.apache.spark.sql.DataFrame) = df.groupBy("id")
+      .agg(sort_array(collect_list(col("block_key"))).as("ks"))
+    val fullOldKeys = keysFull.join(oldRecs.select("id"), Seq("id"), "left_semi")
+    val expectChanged = keySets(pk).withColumnRenamed("ks", "ks_prior")
+      .join(keySets(fullOldKeys), Seq("id"), "full_outer")
+      .filter(not(col("ks_prior") <=> col("ks")))
+      .select("id")
+    assert(biEq(changed, expectChanged), "changed-id set is not the exact key-set diff")
+    // non-trivial: the batch must actually push ≥1 raw block across a class
+    assert(changed.count() > 0, "no block crossed a size class — loosen the split or maxBlock")
+  }
 }

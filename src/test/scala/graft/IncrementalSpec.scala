@@ -111,6 +111,33 @@ class IncrementalSpec extends AnyFunSuite {
       "expected old×old rescoring for the key-changed block members")
   }
 
+  test("legacy prior state (no persisted count tables): fallback diff path == full") {
+    // a state dir written by a pre-counts build lacks raw_counts/sizes2 —
+    // the fold must take the recompute-and-diff path and still be exact
+    val all = graft.testgen.WebCorpus.pages(spark, 300).toDF()
+    val isNew = pmod(xxhash64(col("url")), lit(5)) === 4
+    val Seq(d1, d2, d3) = (1 to 3).map(i =>
+      Files.createTempDirectory(s"graft-leg$i").toString)
+    EntityResolution.resolve(all.filter(!isNew),
+      EntityResolution.Config(workDir = Some(d1))).integrated.count()
+    for (t <- Seq("raw_counts.parquet", "sizes2.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$d1/$t"))
+    val inc = EntityResolution.resolveIncremental(all.filter(isNew), d1,
+      EntityResolution.Config(workDir = Some(d2)))
+    val full = EntityResolution.resolve(all,
+      EntityResolution.Config(workDir = Some(d3)))
+    val cols = Seq("RecordId", "InputSourceARN", "MatchID", "ConfidenceLevel")
+    val a = inc.integrated.select(cols.map(col): _*)
+    val b = full.integrated.select(cols.map(col): _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "legacy fallback diverged from full re-resolve")
+    // and the upgraded chain: d2 now has count tables, so a further fold
+    // over it takes the additive path (guard: the tables exist)
+    assert(new java.io.File(s"$d2/raw_counts.parquet/_SUCCESS").exists() &&
+      new java.io.File(s"$d2/sizes2.parquet/_SUCCESS").exists(),
+      "fold did not persist count tables for the next batch")
+  }
+
   test("re-crawl guard: a batch url already in prior state fails fast") {
     val all = graft.testgen.WebCorpus.pages(spark, 200).toDF()
     val d1 = Files.createTempDirectory("graft-rc1").toString

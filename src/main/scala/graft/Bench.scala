@@ -448,8 +448,11 @@ object Bench {
         mark("incremental probe")
         incJson = {
           val s = session(math.min(cpus, 16))
+          // a second interleaved rep (window re-roll, min-fold per side)
+          // only when the budget clearly covers it
+          val reps = if (elapsed + 1.8 * probeEst < budgetSec) 2 else 1
           try graft.tools.IncrementalProbe.measure(
-            s, materializeCorpus(s, entitiesSmall * 2), mod = 25)
+            s, materializeCorpus(s, entitiesSmall * 2), mod = 25, maxReps = reps)
           finally s.stop()
         }
         emitStage()

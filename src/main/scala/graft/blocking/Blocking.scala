@@ -141,10 +141,13 @@ object Blocking {
    * set the incremental pipeline must re-score.
    *
    * `stage(name, df)` must write `df` durably and return the read-back
-   * frame: every intermediate here feeds SEVERAL downstream actions, and a
-   * lazy plan would re-run the whole merge per action (measured 2.3x the
-   * legacy recompute before staging). The staged count tables double as the
-   * next fold's prior state.
+   * frame — it is applied to the tables the NEXT fold reads as prior state
+   * (raw_counts, sizes2, keys). Per-fold scratch that feeds several actions
+   * but no future fold (crossed blocks, changed ids) is materialized with an
+   * eager localCheckpoint instead: a lazy plan would re-run the whole merge
+   * per consuming action (measured 2.3x the legacy recompute), while a
+   * durable write would pay a driver write+read barrier pair per table —
+   * at batch-fold scale those barriers, not work, dominate the wall.
    */
   def mergeBlockKeys(priorKeys: DataFrame, priorRawCounts: DataFrame,
                      priorSizes2: DataFrame, newRecords: DataFrame,
@@ -157,11 +160,16 @@ object Blocking {
       priorRawCounts.unionByName(batchCounts)
         .groupBy("block_key").agg(sum("n").as("n")))
     val oversizedAll = rawCountsAll.filter(col("n") > cfg.maxBlock)
-    // raw blocks the batch pushed over the size class (counts only grow)
-    val crossed = stage("crossed_blocks", oversizedAll
+    // raw blocks the batch pushed over the size class (counts only grow).
+    // Per-fold SCRATCH (multi-consumer but not next-fold state): an eager
+    // localCheckpoint materializes it once without the write+read barrier
+    // pair a durable stage costs — at probe scale those driver barriers,
+    // not work, dominate the fold's wall
+    val crossed = oversizedAll
       .join(priorRawCounts.filter(col("n") <= cfg.maxBlock).select("block_key"),
         Seq("block_key"), "left_semi")
-      .select("block_key"))
+      .select("block_key")
+      .localCheckpoint(true)
     val oldCrossedRows = priorKeys
       .join(broadcast(crossed), Seq("block_key"), "left_semi")
     val title = records.select(col("id"), col("title_norm"))
@@ -188,8 +196,10 @@ object Blocking {
     val hotChangedIds = priorKeys
       .join(broadcast(newlyHot), Seq("block_key"), "left_semi")
       .select("id")
-    val changedOldIds = stage("key_changed_ids",
-      oldCrossedRows.select("id").union(hotChangedIds).distinct())
+    // scratch, same as `crossed`: feeds scoring/edge-filter/clustering this
+    // fold only, never read by the next one
+    val changedOldIds = oldCrossedRows.select("id").union(hotChangedIds)
+      .distinct().localCheckpoint(true)
     // the full keys table is still REWRITTEN per fold here; at true 10^12
     // scale it becomes a manifest chain like the records table (prior keys
     // files + per-fold delta + crossed/hot tombstones) — the consumers only

@@ -404,14 +404,14 @@ object EntityResolution {
         .select("id", "block_key")
       def keySets(df: DataFrame) = df.groupBy("id")
         .agg(sort_array(collect_list(col("block_key"))).as("ks"))
-      keySets(oldKeysPrior).withColumnRenamed("ks", "ks_prior")
+      val changed = keySets(oldKeysPrior).withColumnRenamed("ks", "ks_prior")
         .join(keySets(keysFull.select("id", "block_key")), Seq("id"), "full_outer")
         .filter(not(col("ks_prior") <=> col("ks")))
         .select("id")
         .join(newIds, Seq("id"), "left_anti") // new ids trivially "gained" keys
-        .write.mode("overwrite").parquet(s"$work/key_changed_ids.parquet")
+        .localCheckpoint(true) // scratch: feeds 3 actions this fold only
       ph("key-change diff materialized")
-      (keysFull, stats, spark.read.parquet(s"$work/key_changed_ids.parquet"))
+      (keysFull, stats, changed)
     }
     val seedIds = newIds.union(keyChangedIds).distinct()
     val keysEff = keys.join(seedIds, Seq("id"), "left_semi")
@@ -421,10 +421,11 @@ object EntityResolution {
       .select(bucketOf.as("b")).distinct()
     val snRecords = records.join(touchedBuckets, bucketOf === col("b"), "left_semi")
     // SN pairs of the touched buckets feed several consumers — materialize
-    // so the per-bucket sort + window scan runs once per variant
-    Blocking.sortedNeighborhoodPairs(snRecords, cfg.blocking)
-      .write.mode("overwrite").parquet(s"$work/sn_pairs.parquet")
-    val sn = spark.read.parquet(s"$work/sn_pairs.parquet")
+    // (eager localCheckpoint: per-fold scratch, never next-fold state) so
+    // the per-bucket sort + window scan runs once per variant without a
+    // durable write+read barrier pair
+    val sn = Blocking.sortedNeighborhoodPairs(snRecords, cfg.blocking)
+      .localCheckpoint(true)
     ph("sn pairs of touched buckets materialized")
     val snSeed = sn.join(seedIds.withColumnRenamed("id", "main_id"), Seq("main_id"), "left_semi")
       .union(sn.join(seedIds.withColumnRenamed("id", "sub_id"), Seq("sub_id"), "left_semi"))
@@ -444,9 +445,8 @@ object EntityResolution {
     // clustering, and computing it means re-running sorted-neighborhood over
     // the touched buckets (snPrior) — lazy, that recompute would run once
     // per consuming action; the set itself is almost always empty/tiny
-    snDropped.join(sharedKey, Seq("main_id", "sub_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$work/stale_sn_pairs.parquet")
-    val staleSnPairs = spark.read.parquet(s"$work/stale_sn_pairs.parquet")
+    val staleSnPairs = snDropped.join(sharedKey, Seq("main_id", "sub_id"), "left_anti")
+      .localCheckpoint(true)
     ph("sn-drift stale set materialized")
 
     val pairs = Blocking.candidatePairsInvolving(keysEff, keys)
@@ -455,10 +455,11 @@ object EntityResolution {
     // score only pairs involving a new or key-changed record; all other old
     // edges are reused verbatim except the stale SN set computed above
     val scored = scorePairs(pairs, records, cfg)
-    scored.filter(col("score") >= cfg.tau)
+    // scratch: folded into edges.parquet below (the durable table) and read
+    // again by the clustering label frames
+    val newEdges = scored.filter(col("score") >= cfg.tau)
       .select("main_id", "sub_id", "score")
-      .write.mode("overwrite").parquet(s"$work/edges_new.parquet")
-    val newEdges = spark.read.parquet(s"$work/edges_new.parquet")
+      .localCheckpoint(true)
     ph("new-involving pairs scored")
     val droppedStaleEdges = oldEdges.select("main_id", "sub_id", "score")
       .join(staleSnPairs, Seq("main_id", "sub_id"), "left_semi")

@@ -40,10 +40,33 @@ object IncrementalProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // prior state (untimed): resolve the old (1 - 1/mod) share
-    val w1 = tmp("prior")
-    EntityResolution.resolve(all.filter(!isNew),
-      EntityResolution.Config(workDir = Some(w1))).integrated.count()
+    // prior state (untimed): resolve the old (1 - 1/mod) share. The prior
+    // resolve is DETERMINISTIC given (corpus, mod, pipeline build), so it is
+    // cached in a stable dir and reused across reps and bench rounds — the
+    // probe then spends its budget on the two timed sides only. The marker
+    // keys on the corpus, the split, and the compiled pipeline's class-file
+    // mtime (a recompile of EntityResolution invalidates the cache);
+    // resolveIncremental additionally validates the state dir's manifest
+    // chain and config signature and aborts loudly on any mismatch.
+    val codeStamp = try {
+      val loc = EntityResolution.getClass.getProtectionDomain
+        .getCodeSource.getLocation.toURI
+      val cls = new java.io.File(new java.io.File(loc),
+        "graft/pipeline/EntityResolution$.class")
+      if (cls.exists()) cls.lastModified() else 0L
+    } catch { case _: Exception => 0L }
+    val w1 = s"${System.getProperty("java.io.tmpdir")}/graft-incprobe-prior-" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(corpus))
+    val marker = new java.io.File(w1, "probe.marker")
+    val markerWant = s"corpus=$corpus mod=$mod code=$codeStamp"
+    val cached = marker.exists() && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == markerWant
+    if (!cached) {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(w1))
+      EntityResolution.resolve(all.filter(!isNew),
+        EntityResolution.Config(workDir = Some(w1))).integrated.count()
+      java.nio.file.Files.write(marker.toPath, markerWant.getBytes("UTF-8"))
+    }
 
     // pair counts are measured OUTSIDE the timed sections: candidatePairs
     // lazily recomputes blocking + pair generation, and the full side would

@@ -323,11 +323,14 @@ object Bench {
         if (ents == entitiesSmall) corpusSmall
         else if (ents == entitiesMid) corpusMid
         else corpus
-      def runSuite(levels: Seq[Int], ents: Long): Map[Int, ScaleResult] = {
+      def runSuite(levels: Seq[Int], ents: Long,
+                   reserve: Double = 0.0): Map[Int, ScaleResult] = {
         windowGate(levels.max, budgetSec) // don't burn a child in a bad window
         // the child self-limits: it skips levels it cannot START within the
-        // remaining round budget (finished levels are already on the pipe)
-        val wallBudget = math.max(150.0, budgetSec - elapsed - 20)
+        // remaining round budget (finished levels are already on the pipe).
+        // `reserve` holds back budget for a fallback stage the caller wants
+        // to guarantee (e.g. a small clean pair behind a pace-gated big one)
+        val wallBudget = math.max(150.0, budgetSec - elapsed - 20 - reserve)
         // pre-touched heap sized to the corpus: only the 1/5 corpus fits the
         // halved heap comfortably
         val rs = spawnScaleSuite(levels, corpusFor(ents), warmCorpus,
@@ -353,11 +356,12 @@ object Bench {
       // re-rolls the host's contention window; min wall is the
       // least-interference estimate); `reps` counts the folded passes so the
       // JSON shows how many windows were rolled
-      def measurePair(ents: Long, prev: Option[Pair]): Pair = {
+      def measurePair(ents: Long, prev: Option[Pair],
+                      reserve: Double = 0.0): Pair = {
         // ONE child JVM for both levels (fixed cost paid once); largest
         // level first — the window-exposed side measures before the window
         // can turn, the steal-immune 1-core side anchors the tail
-        val rs = runSuite(Seq(4, 1), ents)
+        val rs = runSuite(Seq(4, 1), ents, reserve)
         val r4 = rs.getOrElse(4,
           throw new IllegalStateException("pair suite lost the 4-core level"))
         val r1 = rs.getOrElse(1,
@@ -387,7 +391,17 @@ object Bench {
       // anywhere loses nothing already measured.
       val entsStart = if (pace < 1.6) entitiesMid else entitiesSmall
       mark(f"headline pace $pace%.2fx quiet ref → first pair at $entsStart entities")
-      var pairSmall = measurePair(entsStart, None)
+      // a pace-gated big first pair reserves budget for the small-pair
+      // fallback below — a window that turns mid-suite (capping the child
+      // before its 1-core level) must not leave the round with no usable
+      // pair at all
+      var pairSmall =
+        try measurePair(entsStart, None,
+          reserve = if (entsStart > entitiesSmall) 250.0 else 0.0)
+        catch { case e: Throwable if entsStart > entitiesSmall =>
+          mark(s"big first pair failed (${e.getMessage}) — falling back to 1/5")
+          measurePair(entitiesSmall, None)
+        }
       var pairFull: Option[Pair] = None
       var runs32 = Map.empty[Long, ScaleResult]
       var pair28: Option[(Long, ScaleResult, ScaleResult)] = None // (entities, r2, r8)
@@ -570,6 +584,21 @@ object Bench {
           pairSmall = Pair(pairSmall.ents, better(pairSmall.r1, r1),
             better(pairSmall.r4, r4), pairSmall.reps + 1)
           emitStage()
+        }
+      }
+
+      // A big first pair measured in a TURNED window (steal-poisoned and
+      // red) with no budget left to re-roll at its own size: a clean small
+      // pair is better evidence than a poisoned big one. This is what the
+      // big pair's `reserve` held budget for.
+      stage("small-pair fallback") {
+        val smallCost = (pairSmall.r1.sec + pairSmall.r4.sec) *
+          (entitiesSmall.toDouble / pairSmall.ents) * 1.3 + 1.2 * childOverhead
+        if (pairSmall.eff < 0.8 && !pairQuiet && pairSmall.ents > entitiesSmall &&
+            elapsed + smallCost < budgetSec) {
+          mark("poisoned big pair — measuring small fallback pair")
+          val p = measurePair(entitiesSmall, None)
+          if (p.eff > pairSmall.eff) { pairSmall = p; emitStage() }
         }
       }
 

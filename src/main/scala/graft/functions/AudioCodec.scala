@@ -20,8 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * The decode side is the REAL thing: [[decode]] parses the container through
  * AudioSystem and reads the full PCM body, reporting the actual sample rate,
  * frame count (from bytes actually decoded, not the header claim), channel
- * count and container type. Only video remains stubbed
- * (Multimodal.decodeStub) — the JDK ships no video codec.
+ * count and container type. Video container metadata is parsed for real by
+ * [[VideoCodec]]; only video FRAME PIXELS remain opaque (the JDK ships no
+ * video frame codec).
  */
 object AudioCodec {
 

@@ -249,6 +249,47 @@ case class AudioDecodeExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Deterministic AVI synthesis from a 64-bit seed (real spec-layout RIFF
+  * container — the generator analog of a crawled video payload). */
+case class AviEncodeExpr(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "avi_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    VideoCodec.encodeAvi(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VideoCodec.encodeAvi($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** REAL AVI container parse (RIFF chunk walk, zero deps): header dimensions,
+  * fps, the frame chunks actually present in `movi`, and the video stream's
+  * codec fourcc → (width, height, fps, n_frames, codec); NULL for bytes
+  * that are not a RIFF/AVI container (mirror of [[ImageDecodeExpr]]). Frame
+  * PIXELS stay opaque — the JDK ships no video frame codec. */
+case class VideoDecodeExpr(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("fps", DoubleType),
+    StructField("n_frames", IntegerType),
+    StructField("codec", StringType)))
+  override def nullable: Boolean = true // non-AVI bytes → NULL struct
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "video_decode"
+  override protected def nullSafeEval(v: Any): Any =
+    VideoCodec.decode(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.VideoCodec.decode($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points (`import graft.functions.GraftFunctions._`). */
 object GraftFunctions {
   private def col(e: Expression): Column = Shim.column(e)
@@ -272,6 +313,8 @@ object GraftFunctions {
   def image_decode(payload: Column): Column = col(ImageDecodeExpr(expr(payload)))
   def wav_encode(seed: Column): Column = col(WavEncodeExpr(expr(seed)))
   def audio_decode(payload: Column): Column = col(AudioDecodeExpr(expr(payload)))
+  def avi_encode(seed: Column): Column = col(AviEncodeExpr(expr(seed)))
+  def video_decode(payload: Column): Column = col(VideoDecodeExpr(expr(payload)))
 
   /** Register all as SQL temp functions so `spark.sql` text can use them. */
   def register(spark: SparkSession): Unit = {
@@ -282,5 +325,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("html_to_text", es => HtmlToTextExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("ascii_lower", es => AsciiLowerExpr(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_hashes", es => TokenHashesExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("video_decode", es => VideoDecodeExpr(es.head), "built-in")
   }
 }

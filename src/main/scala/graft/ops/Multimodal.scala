@@ -11,41 +11,22 @@ import graft.functions.Sim
  * `binary` columns with a typed metadata struct; decode / feature-extract /
  * resize / frame-sample are per-batch transforms.
  *
- * The IMAGE and AUDIO modalities are decoded for REAL: image payloads are
+ * ALL THREE modalities decode from real containers: image payloads are
  * genuine PNG bytes decoded by a full javax.imageio raster decode
  * (ImageCodec), audio payloads are genuine PCM WAV bytes decoded by a full
- * javax.sound.sampled PCM read (AudioCodec) — both JDK built-ins, both
- * reporting metadata read back from the container, not derived. Only VIDEO
- * remains STUBBED (no video codec ships with the JDK): `decodeStub` derives
- * deterministic fake metadata from a content hash; swapping in a real
- * decoder is a one-function change, marked below.
+ * javax.sound.sampled PCM read (AudioCodec), and video payloads are genuine
+ * spec-layout AVI containers parsed by a real RIFF chunk walker
+ * (VideoCodec) — dimensions, sample rates, frame counts and codec ids are
+ * read back from the bytes, not derived. The one remaining stand-in is
+ * video FRAME PIXEL decode (the JDK ships no video frame codec; a real
+ * deployment plugs ffmpeg in at VideoCodec.decode) and the feature
+ * embedding ([[featureStub]], the stand-in for an ML model).
  */
 object Multimodal {
 
   /** Typed metadata schema carried beside every binary payload. */
   val metaSchema = "STRUCT<modality: STRING, width: INT, height: INT, " +
     "sample_rate: INT, n_frames: INT, codec: STRING>"
-
-  /**
-   * Deterministic fake decode for VIDEO — REPLACE WITH REAL CODEC HERE
-   * (ffmpeg bindings on a real deployment; the JDK has no video codec).
-   * Image and audio rows never reach this: they take the real
-   * javax.imageio / javax.sound.sampled paths in [[prepare]]. The stub
-   * derives plausible metadata from the payload hash so tests exercise the
-   * full dataflow deterministically.
-   */
-  def decodeStub(payload: Column, modality: Column): Column = {
-    val h = xxhash64(payload)
-    struct(
-      modality.as("modality"),
-      (pmod(h, lit(1920L)) + 32).cast("int").as("width"),
-      (pmod(shiftright(h, 8), lit(1080L)) + 32).cast("int").as("height"),
-      when(modality === "audio", (pmod(shiftright(h, 16), lit(3L)) * 16000 + 16000).cast("int"))
-        .otherwise(lit(null).cast("int")).as("sample_rate"),
-      when(modality === "video", (pmod(shiftright(h, 24), lit(7200L)) + 1).cast("int"))
-        .otherwise(lit(null).cast("int")).as("n_frames"),
-      concat(lit("fake-"), pmod(shiftright(h, 32), lit(4L)).cast("string")).as("codec"))
-  }
 
   /**
    * Deterministic fake feature vector (dim floats) from payload bytes —
@@ -92,18 +73,19 @@ object Multimodal {
       (pmod(xxhash64(col(idCol)), lit(3L)) + 1).cast("int"))
     docs.select(col(idCol), col(textCol))
       .withColumn("modality", modality)
-      // image rows carry REAL PNG bytes and audio rows REAL PCM WAV bytes;
-      // video payloads remain the text-bytes stand-in (no JDK video codec)
+      // every modality carries REAL container bytes: PNG / PCM WAV / AVI
       .withColumn("payload",
         when(col("modality") === "image", png_encode(xxhash64(col(idCol))))
           .when(col("modality") === "audio", wav_encode(xxhash64(col(idCol))))
-          .otherwise(col(textCol).cast("binary")))
-      // image/audio metadata comes from REAL javax.imageio /
-      // javax.sound.sampled decodes of the payload — dimensions, sample
-      // rate, frame count and codec are read back from the container bytes
+          .otherwise(avi_encode(xxhash64(col(idCol)))))
+      // metadata comes from REAL decodes/parses of the payload bytes —
+      // dimensions, sample rate, frame count and codec are read back from
+      // the container, not derived (javax.imageio / javax.sound.sampled /
+      // the VideoCodec RIFF walker)
       .withColumn("meta", {
         val dec = image_decode(col("payload"))
         val adec = audio_decode(col("payload"))
+        val vdec = video_decode(col("payload"))
         when(col("modality") === "image", struct(
           col("modality").as("modality"),
           dec.getField("width").as("width"),
@@ -118,7 +100,13 @@ object Multimodal {
             adec.getField("sample_rate").as("sample_rate"),
             adec.getField("n_frames").as("n_frames"),
             adec.getField("codec").as("codec")))
-          .otherwise(decodeStub(col("payload"), col("modality")))
+          .otherwise(struct(
+            col("modality").as("modality"),
+            vdec.getField("width").as("width"),
+            vdec.getField("height").as("height"),
+            lit(null).cast("int").as("sample_rate"),
+            vdec.getField("n_frames").as("n_frames"),
+            vdec.getField("codec").as("codec")))
       })
       .withColumn("features", featureStub(col("payload"), dim))
       .withColumn("meta_resized", resizeMeta(col("meta"), 512))

@@ -312,4 +312,41 @@ class OpsSpec extends AnyFunSuite {
       .select(audio_decode(col("payload")).as("m")).head()
     assert(bad.isNullAt(0))
   }
+
+  test("video modality: real AVI containers, real RIFF parse") {
+    import graft.functions.VideoCodec
+    val vids = Multimodal.prepare(docs.limit(90), "doc_id", "text")
+      .filter(col("modality") === "video")
+      .select(xxhash64(col("doc_id")).as("seed"), col("payload"), col("meta"))
+      .collect()
+    assert(vids.nonEmpty)
+    vids.foreach { r =>
+      val payload = r.getAs[Array[Byte]](1)
+      val meta = r.getStruct(2)
+      // real RIFF/AVI container bytes
+      assert(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'A' && payload(9) == 'V' &&
+        payload(10) == 'I')
+      assert(meta.getAs[String]("codec") == "mjpg")
+      // the pipeline's decoded metadata equals the seeded encode parameters
+      // (the decode READ them back from the container, it cannot see the seed)
+      val (w, h, _, n) = VideoCodec.params(r.getLong(0))
+      assert(meta.getAs[Int]("width") == w && meta.getAs[Int]("height") == h)
+      assert(meta.getAs[Int]("n_frames") == n)
+    }
+    // frame count comes from chunks actually present in movi: truncating
+    // the container must shrink it; fps is read from the stream header;
+    // garbage bytes must yield a NULL struct
+    import graft.functions.GraftFunctions._
+    val avi = VideoCodec.encodeAvi(7L)
+    val (_, _, fps, n) = VideoCodec.params(7L)
+    val full = VideoCodec.decode(avi)
+    assert(full.getInt(3) == n && full.getDouble(2) == fps.toDouble)
+    val truncated = java.util.Arrays.copyOf(avi, avi.length - 40)
+    val part = VideoCodec.decode(truncated)
+    assert(part != null && part.getInt(3) < full.getInt(3))
+    val bad = Seq(Array[Byte](1, 2, 3)).toDF("payload")
+      .select(video_decode(col("payload")).as("m")).head()
+    assert(bad.isNullAt(0))
+  }
 }

@@ -263,10 +263,11 @@ object SparkEntry {
     "q25_multimodal" -> ((s, d) => {
       val prepared = Multimodal.prepare(t(s, d, "documents"), "doc_id", "text")
       // decode output materialized for the oracle: image width/height come
-      // from the real javax.imageio decode and audio sample_rate from the
-      // real javax.sound.sampled decode (the video stub is the only derived
-      // metadata); the resize math, modality routing and feature shape are
-      // recomputed by DuckDB from the materialized decode results
+      // from the real javax.imageio decode, audio sample_rate from the real
+      // javax.sound.sampled decode, and video dimensions/frame counts from
+      // the real RIFF/AVI chunk walker; the resize math, modality routing
+      // and feature shape are recomputed by DuckDB from the materialized
+      // decode results
       sideTable(s, d, "mm_meta") {
         prepared.select(col("doc_id"), col("modality"),
           col("meta").getField("width").as("width"),

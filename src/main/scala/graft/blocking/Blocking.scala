@@ -267,21 +267,34 @@ object Blocking {
         col("sort_key"), col("id"), col("source"))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "sort_key", "id")
-      .as[(String, String, Long, String)]
     val w = cfg.snWindow
-    prepared.mapPartitions { it =>
-      var bucket: String = null
-      val buf = scala.collection.mutable.Queue.empty[(Long, String)] // (id, source)
-      it.flatMap { case (b, _, id, source) =>
-        if (b != bucket) { bucket = b; buf.clear() }
-        val pairs = buf.iterator.collect {
-          case (u, s) if s != source =>
-            if (s == "main") (b, u, id) else (b, id, u) // (bucket, main_id, sub_id)
-        }.toVector
-        buf.enqueue((id, source))
-        if (buf.size > w) buf.dequeue()
-        pairs
-      }
-    }.toDF("bucket", "main_id", "sub_id").distinct()
+    // window scan generic in the id type: ids are opaque here (buffered and
+    // re-emitted, never compared), so the same logic serves the 64-bit long
+    // ids and the 128-bit binary ids (EntityResolution.Config.idBits) — only
+    // the encoder differs
+    def scan[I](ds: org.apache.spark.sql.Dataset[(String, String, I, String)])(
+        implicit enc: org.apache.spark.sql.Encoder[(String, I, I)]) =
+      ds.mapPartitions { it =>
+        var bucket: String = null
+        val buf = scala.collection.mutable.Queue.empty[(I, String)] // (id, source)
+        it.flatMap { case (b, _, id, source) =>
+          if (b != bucket) { bucket = b; buf.clear() }
+          val pairs = buf.iterator.collect {
+            case (u, s) if s != source =>
+              if (s == "main") (b, u, id) else (b, id, u) // (bucket, main_id, sub_id)
+          }.toVector
+          buf.enqueue((id, source))
+          if (buf.size > w) buf.dequeue()
+          pairs
+        }
+      }.toDF("bucket", "main_id", "sub_id")
+    val out = records.schema("id").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        scan(prepared.as[(String, String, Long, String)])
+      case org.apache.spark.sql.types.BinaryType =>
+        scan(prepared.as[(String, String, Array[Byte], String)])
+      case t => throw new IllegalArgumentException(s"unsupported id type $t")
+    }
+    out.distinct()
   }
 }

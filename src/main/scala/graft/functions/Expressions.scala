@@ -290,6 +290,23 @@ case class VideoDecodeExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Two 64-bit halves → a 16-byte big-endian binary — the 128-bit record-id
+  * constructor for [[graft.pipeline.EntityResolution]]'s `idBits = 128` mode
+  * (collision-safe at 10¹² records where 64-bit hash ids reach ~3%). */
+case class Bin128Expr(left: Expression, right: Expression)
+    extends BinaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+  override def graftInputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bin128"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sim.bin128(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Sim.bin128($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-API entry points (`import graft.functions.GraftFunctions._`). */
 object GraftFunctions {
   private def col(e: Expression): Column = Shim.column(e)
@@ -314,6 +331,7 @@ object GraftFunctions {
   def wav_encode(seed: Column): Column = col(WavEncodeExpr(expr(seed)))
   def audio_decode(payload: Column): Column = col(AudioDecodeExpr(expr(payload)))
   def avi_encode(seed: Column): Column = col(AviEncodeExpr(expr(seed)))
+  def bin128(hi: Column, lo: Column): Column = col(Bin128Expr(expr(hi), expr(lo)))
   def video_decode(payload: Column): Column = col(VideoDecodeExpr(expr(payload)))
 
   /** Register all as SQL temp functions so `spark.sql` text can use them. */

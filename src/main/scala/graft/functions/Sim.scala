@@ -513,6 +513,23 @@ object Sim {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Two 64-bit halves → one 16-byte big-endian binary id. Backs the
+    * pipeline's 128-bit record-id mode (collision probability ~n²/2¹²⁹:
+    * negligible at 10¹² records, where 64-bit ids reach ~3% — see
+    * EntityResolution's id scaladoc). Big-endian so BinaryType's unsigned
+    * lexicographic comparison is a consistent total order over (hi, lo) —
+    * all the clustering min/least logic needs. */
+  def bin128(hi: Long, lo: Long): Array[Byte] = {
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      out(i) = (hi >>> (56 - 8 * i)).toByte
+      out(i + 8) = (lo >>> (56 - 8 * i)).toByte
+      i += 1
+    }
+    out
+  }
+
   /**
    * Locale-free lowercase with a zero-garbage ASCII fast path. Spark 4's
    * `lower()` routes through ICU collation support (observed dominating

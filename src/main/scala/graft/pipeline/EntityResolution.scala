@@ -32,8 +32,11 @@ import graft.functions.GraftFunctions._
  * per-iteration checkpoints. Urls are re-attached only at the output edge.
  *
  * Id collisions: 64-bit hash ids collide with probability ~n²/2⁶⁵ (≈3·10⁻⁹
- * at 10⁶ records, ≈0.03 at 10¹² — at true 10¹²-doc scale swap in the
- * 128-bit variant or a monotonic dictionary join; the code is agnostic).
+ * at 10⁶ records, ≈0.03 at 10¹²). At true 10¹²-doc scale set
+ * `Config(idBits = 128)`: ids become 16-byte binaries built from two
+ * independent xxhash64 halves (collision probability ~n²/2¹²⁹), and the
+ * id-type-agnostic pipeline produces bit-identical integrated output at 2×
+ * the shuffle-key bytes (IdBitsSpec proves the equivalence).
  * `resolve(auditIds = true)` adds a one-pass distinct-count audit that
  * aborts on collision rather than silently merging two records.
  */
@@ -52,6 +55,13 @@ object EntityResolution {
       // probability is ~n_a·n_b/2^bits (≈1e-5 at 200-token docs), magnitude
       // ≤ 1/|union| — see Sim.packTokenHashes. 64 = lossless mode.
       tokenBits: Int = 32,
+      // record-id width: 64 (default — xxhash64(url), 8-byte shuffle keys,
+      // collision-audited) or 128 (two independent xxhash64 halves packed
+      // into a 16-byte binary — collision probability ~n²/2¹²⁹, the mode for
+      // true 10¹²-record corpora where 64-bit ids reach ~3%). The whole
+      // pipeline downstream of normalize() is id-type-agnostic; 128-bit runs
+      // produce bit-identical integrated output (IdBitsSpec).
+      idBits: Int = 64,
       checkpointDir: Option[String] = None,
       // stage-materialization dir (normalized records, match edges). Parquet
       // materialization replaces block-manager caching: measured on this
@@ -70,7 +80,11 @@ object EntityResolution {
   private def configSig(cfg: Config): String =
     s"blocking=${cfg.blocking};tau=${cfg.tau};wJW=${cfg.wJaroWinkler};" +
       s"wTJ=${cfg.wTokenJaccard};wLev=${cfg.wLevenshtein};" +
-      s"titleTokens=${cfg.titleTokens};tokenBits=${cfg.tokenBits}"
+      s"titleTokens=${cfg.titleTokens};tokenBits=${cfg.tokenBits}" +
+      // idBits entered the signature with its 64 default; older state dirs
+      // (no suffix) therefore mean 64 — only a non-default width is stamped,
+      // so existing incremental chains keep folding without a re-resolve
+      (if (cfg.idBits != 64) s";idBits=${cfg.idBits}" else "")
 
   private val workCounter = new java.util.concurrent.atomic.AtomicInteger()
   private def freshWorkDir(): String = {
@@ -88,10 +102,25 @@ object EntityResolution {
    * fields are pure functions of row content. `id` is the 64-bit dictionary
    * encoding of the record key used by every downstream shuffle.
    */
-  def normalize(pages: DataFrame): DataFrame = {
+  def normalize(pages: DataFrame): DataFrame = normalize(pages, idBits = 64)
+
+  /** [[normalize]] with a chosen record-id width: 64 → xxhash64(url) long
+    * (default), 128 → two independent xxhash64 halves packed big-endian into
+    * a 16-byte binary (collision-safe at 10¹² records). Everything
+    * downstream — blocking, funnel joins, clustering min/least, the url
+    * re-attach — is id-type-agnostic, so the only difference is the bytes
+    * each shuffle key carries. */
+  def normalize(pages: DataFrame, idBits: Int): DataFrame = {
+    require(idBits == 64 || idBits == 128, s"idBits must be 64 or 128, got $idBits")
+    val id =
+      if (idBits == 64) xxhash64(col("url"))
+      // two independent halves: xxhash64 of the url alone and of the url
+      // with a constant discriminator column appended (distinct inputs →
+      // independent 64-bit streams under xxhash64's avalanche)
+      else bin128(xxhash64(col("url")), xxhash64(col("url"), lit("graft-id-hi")))
     val textEx = html_to_text(col("html"))
     pages
-      .withColumn("id", xxhash64(col("url")))
+      .withColumn("id", id)
       .withColumn("text_ex", textEx)
       .withColumn("text_norm", ascii_lower(col("text_ex")))
       .withColumn("title_norm", substring_index(col("text_norm"), " ", 8))
@@ -108,7 +137,7 @@ object EntityResolution {
     * every downstream scan and shuffle; `n_tok` reads its O(1) count prefix
     * (Catalyst subexpression elimination evaluates the pack once). */
   def normalizeWithSig(pages: DataFrame, cfg: Config): DataFrame =
-    normalize(pages)
+    normalize(pages, cfg.idBits)
       .withColumn("sig",
         minhash_sig(col("text_norm"), cfg.blocking.shingleSize, cfg.blocking.minhashHashes))
       .withColumn("tok", pack_tokens(col("text_norm"), cfg.tokenBits))
@@ -591,7 +620,7 @@ object EntityResolution {
     val edges0 = store.loadIteration(0) // scored edges (src, dst, score)
     val components = ConnectedComponents.run(
       snapshot.select("src", "dst"), Some(store), startIter = k)
-    val records = normalize(pages)
+    val records = normalize(pages, cfg.idBits)
       .select("id", "url", "source", "warc_ts", "lang")
     buildIntegrated(records,
       edges0.select(col("src").as("main_id"), col("dst").as("sub_id"), col("score")),

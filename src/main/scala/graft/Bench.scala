@@ -517,12 +517,13 @@ object Bench {
           f""""task_sec_local1":${r1.taskSec}%.1f,"task_sec_local4":${r4.taskSec}%.1f,""" +
           f""""cpu_sec_local1":${r1.cpuSec}%.1f,"cpu_sec_local4":${r4.cpuSec}%.1f,""" +
           f""""work_inflation_1_to_4":${r4.taskSec / r1.taskSec}%.3f,""" +
-          // task counts attribute the inflation: Spark's input-split formula
-          // and AQE's parallelismFirst coalescing scale task counts with the
-          // level's cores (as a real N vs 4N cluster does), and each task
-          // pays a fixed plan-deserialization cost inside task.run — on a
-          // small corpus THAT, not host contention, is most of the
-          // inflation, and it amortizes away on the bigger-corpus pairs
+          // task counts contextualize the inflation: Spark's input-split
+          // formula and AQE's parallelismFirst coalescing scale task counts
+          // with the level's cores (as a real N vs 4N cluster does).
+          // Per-task fixed cost was probed and RULED OUT as the carrier
+          // (1-6 ms/task, TaskCostProbe); the inflation lives in the
+          // hash-agg/shuffle minority of the CPU and tracks the host
+          // window — see BENCH/BASELINE.md
           s""""n_tasks_local1":${r1.nTasks},"n_tasks_local4":${r4.nTasks},""" +
           s""""n_tasks_local32":${r32.map(_.nTasks).getOrElse(-1L)},""" +
           // hypervisor steal observed DURING each measured section
@@ -594,16 +595,13 @@ object Bench {
       // Was the pair measured in a QUIET window? The signal is hypervisor
       // steal (/proc/stat) on either side. Task-time inflation (summed
       // task-seconds at 4 threads vs 1 for identical work) is reported but
-      // deliberately NOT a retry trigger: per-stage diagnostics showed the
-      // inflation on a small corpus is STRUCTURAL, not a window property —
-      // Spark's input-split formula and AQE's parallelismFirst coalescing
-      // scale task counts with the level's cores (exactly as a real N vs 4N
-      // executor cluster does), and each task pays a fixed
-      // plan-deserialization cost inside task.run, while the compute-dense
-      // stages inflate 1.0x. A zero-steal red with inflation is therefore an
-      // amortization shortfall with a known mechanism; re-rolling it burns
-      // budget without changing it (measured: 6 zero-steal retries, floor
-      // 1.46, never below), while the bigger corpus shrinks it directly.
+      // deliberately NOT a retry trigger: it concentrates in the hash-agg/
+      // shuffle minority of the CPU (the compute-dense stages inflate 1.0x),
+      // per-task fixed cost is ruled out as its carrier (TaskCostProbe,
+      // 1-6 ms/task), and its magnitude tracks the host window — re-rolling
+      // a zero-steal red burned 6 retries at floor 1.46 in one measured
+      // window without moving it, while the bigger-corpus upgrade both
+      // amortizes the flat per-stage share and samples a later window.
       def pairQuiet: Boolean =
         !(pairSmall.r4.stealPct > 0.10) && !(pairSmall.r1.stealPct > 0.10)
 

@@ -130,16 +130,16 @@ object ScaleRunner {
         phase(s"cal warm done cpus=$cpus")
         val calCoreSec = probe()
         phase(s"cal done cpus=$cpus")
-        // nTasks attributes work inflation across levels: Spark's input-split
-        // formula (totalBytes / defaultParallelism) and AQE's parallelismFirst
-        // coalescing both scale task counts with the level's core count —
-        // exactly as they do on a real N vs 4N executor cluster — and each
-        // task pays a fixed plan-deserialization cost inside task.run. On a
-        // small corpus that structural per-task cost, not host contention,
-        // is most of taskSec(4N)/taskSec(N) (measured: the two compute-dense
-        // stages inflate 1.0x while cores-many small-stage tasks carry the
-        // rest); it shrinks to noise as the corpus grows, which is why the
-        // ladder's remedy for a quiet-window red pair is a bigger corpus.
+        // nTasks contextualizes work inflation across levels: Spark's
+        // input-split formula (totalBytes / defaultParallelism) and AQE's
+        // parallelismFirst coalescing both scale task counts with the
+        // level's core count — exactly as they do on a real N vs 4N
+        // executor cluster. Per-task FIXED cost was probed and ruled out as
+        // the inflation carrier (1-6 ms/task even for fresh plans,
+        // TaskCostProbe); the inflation concentrates in the hash-agg /
+        // shuffle minority of the CPU (the compute-dense stages inflate
+        // 1.0x) and its magnitude tracks the host window — see
+        // BENCH/BASELINE.md "Work inflation: stage-level attribution".
         println(f"[scale] cpus=$cpus sec=$sec%.3f docs=$docs " +
           f"taskSec=${measuredTask / 1000.0}%.1f cpuSec=${cpuTime.get() / 1000.0}%.1f " +
           f"gcSec=${gcTime.get() / 1000.0}%.1f util=$util%.2f calCoreSec=$calCoreSec%.2f " +

@@ -457,6 +457,15 @@ object SparkEntry {
       erResult(s, d).integrated
         .select("RecordId", "InputSourceARN", "MatchID")
         .orderBy("RecordId")),
+    "er_id128" -> ((s, d) =>
+      // the 128-bit record-id mode (Config(idBits = 128) — collision-safe
+      // 16-byte ids for 10¹²-record corpora) under the driver's own gate:
+      // the pipeline is id-type-agnostic, so the output contract — and
+      // therefore the truth-derived oracle — is IDENTICAL to er_integrated
+      EntityResolution.resolve(WebCorpus.pagesMaterialized(s, d),
+        EntityResolution.Config(idBits = 128)).integrated
+        .select("RecordId", "InputSourceARN", "MatchID")
+        .orderBy("RecordId")),
     "er_edges" -> ((s, d) =>
       erResult(s, d).edges
         .select(col("main_url"), col("sub_url"))
@@ -615,6 +624,16 @@ object SparkEntry {
       s"""SELECT main_url, sub_url
          |FROM '$Mat/truth.parquet/*.parquet' ORDER BY 1, 2""".stripMargin,
     "er_integrated" ->
+      s"""WITH t AS (
+         |  SELECT main_url AS u, least(main_url, sub_url) AS m FROM '$Mat/truth.parquet/*.parquet'
+         |  UNION ALL
+         |  SELECT sub_url, least(main_url, sub_url) FROM '$Mat/truth.parquet/*.parquet')
+         |SELECT p.url AS RecordId, p.source AS InputSourceARN, coalesce(t.m, p.url) AS MatchID
+         |FROM '$Mat/pages.parquet/*.parquet' p LEFT JOIN t ON p.url = t.u
+         |ORDER BY 1""".stripMargin,
+    // identical oracle by construction: idBits only changes internal
+    // shuffle-key width, never the output contract (IdBitsSpec)
+    "er_id128" ->
       s"""WITH t AS (
          |  SELECT main_url AS u, least(main_url, sub_url) AS m FROM '$Mat/truth.parquet/*.parquet'
          |  UNION ALL

@@ -441,15 +441,27 @@ object Bench {
       val shufflePartitions =
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64").toInt
 
-      def primary: Pair = pairFull match {
-        case Some(pf) if pf.eff >= pairSmall.eff => pf
-        case _ => pairSmall
+      // primary = the pair the top-level gate fields report. Quiet pairs
+      // (≤10% steal on BOTH sides) outrank any steal-touched pair even at
+      // lower efficiency: steal on the 1-core side INFLATES the ratio
+      // (slower denominator), so picking "highest eff" across pairs would
+      // systematically select interference-flattered measurements — the
+      // opposite failure mode of the one retries guard against. Within the
+      // quiet pool: highest eff, corpus size as tie-break (better
+      // amortized). Steal-touched pairs remain fully disclosed in
+      // pair_small/pair_full with their steal_pct fields.
+      def quietSides(p: Pair): Boolean =
+        !(p.r4.stealPct > 0.10) && !(p.r1.stealPct > 0.10)
+      def primary: Pair = {
+        val cands = pairFull.toSeq :+ pairSmall
+        val pool = { val q = cands.filter(quietSides); if (q.nonEmpty) q else cands }
+        pool.maxBy(p => (p.eff, p.ents))
       }
       def j(x: Double, fmt: String) = if (x.isNaN) "null" else fmt.format(x)
       def buildErJson(): String = {
-        // primary = least-interference measurement: the completed pair with
-        // the highest raw efficiency (full-size preferred on ties — the
-        // better-amortized claim); the small pair is always reported too
+        // primary: quiet-sides pairs first, then highest raw efficiency
+        // (see `primary` above); every completed pair is reported in
+        // pair_small / pair_full regardless
         val p = primary
         val (r1, r4) = (p.r1, p.r4)
         val docs = r4.docs
@@ -602,8 +614,7 @@ object Bench {
       // a zero-steal red burned 6 retries at floor 1.46 in one measured
       // window without moving it, while the bigger-corpus upgrade both
       // amortizes the flat per-stage share and samples a later window.
-      def pairQuiet: Boolean =
-        !(pairSmall.r4.stealPct > 0.10) && !(pairSmall.r1.stealPct > 0.10)
+      def pairQuiet: Boolean = quietSides(pairSmall)
 
       // stage 5 (as a function — see call-order note below): bigger-corpus
       // 1-vs-4 upgrade — the best-amortized north-rule number. Prefer the

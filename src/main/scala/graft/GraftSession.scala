@@ -24,11 +24,22 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
           math.max(64, cpus).toString))
       .config("spark.sql.adaptive.enabled", "true")
+      // Leaf-scan splits floor at 4 tasks/core: the default split formula
+      // (totalBytes/128 MB) hands a ~600 MB table to ANY level as ~6 fat
+      // tasks — 2 ragged waves on 4 cores, 26 idle cores on 32 (measured:
+      // the normalize scan alone was 16.5 s of a 63 s local[4] resolve wall
+      // and ~half the local[32] wall). At cluster scale the floor is inert
+      // (bytes/128 MB ≫ 4×cores) and `openCostInBytes` (4 MB) still keeps
+      // small stage tables from over-splitting.
+      .config("spark.sql.files.minPartitionNum", (4 * cpus).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      kv.split("=", 2) match { // tolerate empty/blank entries ("", "k=v;")
+        case Array(k, v) if k.trim.nonEmpty => b.config(k.trim, v)
+        case _ => ()
+      }
     })
     // tmpfs shuffle dir: opt-out via SPARK_GRAFT_TMPFS=0; only when /dev/shm
     // has real headroom (shuffle spill on RAM-backed tmpfs can starve a

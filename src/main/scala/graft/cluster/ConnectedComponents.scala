@@ -80,6 +80,7 @@ object ConnectedComponents {
    */
   def run(edges: DataFrame, store: Option[CheckpointStore] = None,
           maxIter: Int = 64, startIter: Int = 0): DataFrame = {
+    val spark = edges.sparkSession
     var cur = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -87,20 +88,38 @@ object ConnectedComponents {
     var sig = signature(cur)
     var it = startIter
     var converged = false
-    while (!converged && it < maxIter) {
-      val t0 = System.nanoTime()
-      // lazy checkpoint: the signature aggregate below materializes it, so
-      // each iteration costs ONE job instead of two
-      val next = smallStar(largeStar(cur)).localCheckpoint(false)
-      val nextSig = signature(next)
-      it += 1
-      store.foreach(_.writeIteration(it, next, nextSig._1, (System.nanoTime() - t0) / 1e6))
-      // signature match is a cheap candidate test; exact multiset equality
-      // is confirmed once (counts equal ⇒ one-directional exceptAll suffices)
-      converged = nextSig == sig && next.exceptAll(cur).isEmpty
-      cur = next
-      sig = nextSig
-    }
+    // Size the loop's shuffle fan-out from the MEASURED edge count (free:
+    // the convergence signature already counts rows). Edge frames here are
+    // 16-byte rows, typically orders of magnitude smaller than the record
+    // tables the session-wide `spark.sql.shuffle.partitions` is sized for;
+    // at the session's 64 partitions every map task of every star/distinct
+    // shuffle opens 64 partition writers for a few MB of data — per-task
+    // fixed cost × ~6 shuffles × O(log n) iterations of pure overhead. AQE
+    // coalesces the REDUCE side but cannot shrink the map-side fan-out.
+    // ~500k edges (8 MB) per partition keeps any level busy; the cap
+    // restores the session value for genuinely large graphs, so behavior at
+    // 10^12-edge scale is unchanged.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def loopParts(nEdges: Long): Int =
+      math.min(sessionParts, math.max(8, (nEdges / 500000L).toInt))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      while (!converged && it < maxIter) {
+        val t0 = System.nanoTime()
+        spark.conf.set("spark.sql.shuffle.partitions", loopParts(sig._1))
+        // lazy checkpoint: the signature aggregate below materializes it, so
+        // each iteration costs ONE job instead of two
+        val next = smallStar(largeStar(cur)).localCheckpoint(false)
+        val nextSig = signature(next)
+        it += 1
+        store.foreach(_.writeIteration(it, next, nextSig._1, (System.nanoTime() - t0) / 1e6))
+        // signature match is a cheap candidate test; exact multiset equality
+        // is confirmed once (counts equal ⇒ one-directional exceptAll suffices)
+        converged = nextSig == sig && next.exceptAll(cur).isEmpty
+        cur = next
+        sig = nextSig
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     // normalize: every node that appears anywhere → min component label
     cur.select(col("src").as("node"), col("dst").as("component"))
       .union(cur.select(col("dst").as("node"), col("dst").as("component")))

@@ -127,7 +127,13 @@ object Bench {
       f"$wallBudget%.0f")
     // the child self-limits against wallBudget (skipping unstarted levels);
     // the hard parent cap only catches a level that balloons MID-measurement
-    val capSec = math.min(childCapSec.toDouble * levels.size, wallBudget + 120).toLong
+    // the third bound is a GLOBAL deadline: a late secondary stage whose
+    // window turns mid-measurement must never push the whole Bench past
+    // budget+~90 s — an external (driver-side) kill loses every staged JSON
+    // line, while killing the child here loses only the unfinished level
+    // (completed [scale] lines are kept, stage() isolates the fallout)
+    val capSec = math.min(math.min(childCapSec.toDouble * levels.size, wallBudget + 120),
+      math.max(60.0, budgetSec - elapsed + 60)).toLong
     try {
       val t0 = System.nanoTime()
       val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()

@@ -114,6 +114,49 @@ object Blocking {
     (kept, statsOf(sizes2, cfg), rawCounts, sizes2)
   }
 
+  /** Materialize the three persisted block tables (raw_counts, sizes2, keys)
+    * under `dir` with exactly TWO explode-scans of the records table instead
+    * of the ~six that writing the [[blockKeysWithCounts]] lineage three times
+    * costs (each write job re-derives scan→explode→agg, and each broadcast
+    * subtree re-derives it again inside the job — separate actions never
+    * share exchanges). The extra `keyed_all` stage file is per-run scratch:
+    * both remaining consumers (sizes2 agg, still-hot anti-join) scan it as
+    * cheap columnar (id, source, block_key), and it is deleted once
+    * keys.parquet lands. Table contents are bit-identical to the lineage
+    * writes: every frame is the same operator tree, merely cut at durable
+    * boundaries. */
+  def writeBlockTables(records: DataFrame, dir: String, cfg: Config): Unit = {
+    val spark = records.sparkSession
+    val raw = rawKeys(records, cfg)
+    raw.groupBy("block_key").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/raw_counts.parquet")
+    val oversized = spark.read.parquet(s"$dir/raw_counts.parquet")
+      .filter(col("n") > cfg.maxBlock)
+    val keyedPath = s"$dir/keyed_all.parquet"
+    raw.join(broadcast(oversized), Seq("block_key"), "left")
+      .withColumn("block_key",
+        when(col("n").isNull, col("block_key")).otherwise(reKey(cfg)))
+      .select("id", "source", "block_key")
+      .write.mode("overwrite").parquet(keyedPath)
+    val keyed = spark.read.parquet(keyedPath)
+    keyed.groupBy("block_key").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/sizes2.parquet")
+    val stillHot = spark.read.parquet(s"$dir/sizes2.parquet")
+      .filter(col("n") > cfg.maxBlock * 4L)
+    val keysFile = new java.io.File(s"$dir/keys.parquet")
+    if (stillHot.isEmpty) {
+      // nothing to drop: keys == keyed_all row-for-row — promote the scratch
+      // table with a directory rename instead of rewriting the full stream
+      org.apache.commons.io.FileUtils.deleteQuietly(keysFile)
+      if (!new java.io.File(keyedPath).renameTo(keysFile))
+        throw new java.io.IOException(s"rename $keyedPath -> $keysFile failed")
+    } else {
+      keyed.join(broadcast(stillHot), Seq("block_key"), "left_anti")
+        .write.mode("overwrite").parquet(s"$dir/keys.parquet")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(keyedPath))
+    }
+  }
+
   /**
    * Additive key maintenance — the 10¹²-scale path the keys scaladoc
    * promises: fold a batch into the prior run's (keys, rawCounts, sizes2)

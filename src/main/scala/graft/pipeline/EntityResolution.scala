@@ -585,11 +585,7 @@ object EntityResolution {
   private def materializeKeys(spark: SparkSession, records: DataFrame,
                               work: String,
                               cfg: Config): (DataFrame, DataFrame) = {
-    val (keys, _, rawCounts, sizes2) =
-      Blocking.blockKeysWithCounts(records, cfg.blocking)
-    keys.write.mode("overwrite").parquet(s"$work/keys.parquet")
-    rawCounts.write.mode("overwrite").parquet(s"$work/raw_counts.parquet")
-    sizes2.write.mode("overwrite").parquet(s"$work/sizes2.parquet")
+    Blocking.writeBlockTables(records, work, cfg.blocking)
     // stats over the PERSISTED sizes table — a stats consumer must not
     // silently re-derive the whole key stream through the lazy lineage
     (spark.read.parquet(s"$work/keys.parquet"),

@@ -138,4 +138,45 @@ class BlockingSpec extends AnyFunSuite {
     // non-trivial: the batch must actually push ≥1 raw block across a class
     assert(changed.count() > 0, "no block crossed a size class — loosen the split or maxBlock")
   }
+
+  test("writeBlockTables == blockKeysWithCounts lineage (incl. still-hot drop branch)") {
+    import spark.implicits._
+    // exceptAll matches columns positionally; align by name first (the
+    // pipeline reads every persisted table by column name)
+    def biEq(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) = {
+      assert(a.columns.sorted.sameElements(b.columns.sorted),
+        s"column sets differ: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+      val cols = a.columns.sorted.map(col)
+      val (a2, b2) = (a.select(cols: _*), b.select(cols: _*))
+      a2.exceptAll(b2).count() == 0 && b2.exceptAll(a2).count() == 0
+    }
+    // 70 rows of one domain sharing one 12-char title prefix: with
+    // maxBlock = 8 the re-keyed block still exceeds 4*maxBlock, forcing the
+    // still-hot anti-join branch; the natural corpus under the default
+    // config takes whichever branch its Zipf head dictates
+    val hotPages = (0 until 35).flatMap { i =>
+      val html = ("<html><head><title>gadget review " + i +
+        "</title></head><body>x</body></html>").getBytes("UTF-8")
+      Seq(graft.testgen.WebPage(s"https://stillhot.example.com/main-$i",
+            java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), html, "", "en", "main"),
+          graft.testgen.WebPage(s"https://stillhot.example.com/sub-$i",
+            java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), html, "", "en", "sub"))
+    }.toDF()
+    val hotRecs = EntityResolution.normalizeWithSig(hotPages, EntityResolution.Config())
+    for ((recs, cfg, wantDrops) <- Seq(
+        (records, Blocking.Config(), false),
+        (records.unionByName(hotRecs), Blocking.Config(maxBlock = 8), true))) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-blocktables").toString
+      Blocking.writeBlockTables(recs, dir, cfg)
+      val (k, _, r, s2) = Blocking.blockKeysWithCounts(recs, cfg)
+      assert(biEq(spark.read.parquet(s"$dir/keys.parquet"), k), "staged keys differ")
+      assert(biEq(spark.read.parquet(s"$dir/raw_counts.parquet"), r), "staged raw counts differ")
+      assert(biEq(spark.read.parquet(s"$dir/sizes2.parquet"), s2), "staged sizes differ")
+      assert(!new java.io.File(s"$dir/keyed_all.parquet").exists(),
+        "keyed_all scratch not cleaned up")
+      val dropped = Blocking.statsOf(spark.read.parquet(s"$dir/sizes2.parquet"), cfg)
+        .head().getAs[Long]("dropped_rows")
+      if (wantDrops) assert(dropped > 0, "crafted still-hot block did not trigger the drop branch")
+    }
+  }
 }

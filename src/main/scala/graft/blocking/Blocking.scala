@@ -279,10 +279,21 @@ object Blocking {
   }
 
   /** Cross-source candidate pairs (main_id, sub_id) from shared block keys. */
-  def candidatePairs(keys: DataFrame): DataFrame = {
+  def candidatePairs(keys: DataFrame): DataFrame =
+    candidatePairsRaw(keys).distinct()
+
+  /** [[candidatePairs]] WITHOUT the dedup shuffle — one duplicate per extra
+    * shared key (e.g. LSH bands of a matching pair). For a consumer that
+    * dedups downstream anyway (the resolve pipeline unions these with the
+    * sorted-neighborhood pass and distincts ONCE), the inner distinct is a
+    * redundant full shuffle of the pair stream: its input is the same raw
+    * join output the outer distinct would absorb, map-side partial
+    * aggregation already collapses same-block duplicates before either
+    * shuffle, and pair rows are 16-byte id pairs. */
+  private[graft] def candidatePairsRaw(keys: DataFrame): DataFrame = {
     val a = keys.filter(col("source") === "main").select(col("block_key"), col("id").as("main_id"))
     val b = keys.filter(col("source") === "sub").select(col("block_key"), col("id").as("sub_id"))
-    a.join(b, "block_key").select("main_id", "sub_id").distinct()
+    a.join(b, "block_key").select("main_id", "sub_id")
   }
 
   /**
@@ -292,7 +303,14 @@ object Blocking {
    * never generated, so pair-scoring work per batch is proportional to the
    * batch's block overlap, not the corpus.
    */
-  def candidatePairsInvolving(keysNew: DataFrame, keysAll: DataFrame): DataFrame = {
+  def candidatePairsInvolving(keysNew: DataFrame, keysAll: DataFrame): DataFrame =
+    candidatePairsInvolvingRaw(keysNew, keysAll).distinct()
+
+  /** [[candidatePairsInvolving]] without the dedup shuffle — same rationale
+    * as [[candidatePairsRaw]] (the incremental pipeline distincts once after
+    * unioning with its sorted-neighborhood seed pairs). */
+  private[graft] def candidatePairsInvolvingRaw(keysNew: DataFrame,
+                                                keysAll: DataFrame): DataFrame = {
     def side(keys: DataFrame, src: String, as: String) =
       keys.filter(col("source") === src).select(col("block_key"), col("id").as(as))
     side(keysNew, "main", "main_id").join(side(keysAll, "sub", "sub_id"), "block_key")
@@ -300,7 +318,6 @@ object Blocking {
       .union(side(keysAll, "main", "main_id")
         .join(side(keysNew, "sub", "sub_id"), "block_key")
         .select("main_id", "sub_id"))
-      .distinct()
   }
 
   /**
@@ -354,13 +371,19 @@ object Blocking {
           pairs
         }
       }.toDF("bucket", "main_id", "sub_id")
-    val out = records.schema("id").dataType match {
+    // No dedup shuffle: the emission is unique BY CONSTRUCTION (spec-gated,
+    // BlockingSpec). Each record belongs to exactly one content-defined
+    // bucket (its own sort-key prefix) and record ids are unique (the
+    // pipeline's dictionary audit), so a pair can only form in one bucket;
+    // within a bucket the window scan emits (earlier, later) exactly once —
+    // when `later` arrives with `earlier` still buffered. Uniqueness is what
+    // the incremental drift diff's exceptAll set semantics rely on.
+    records.schema("id").dataType match {
       case org.apache.spark.sql.types.LongType =>
         scan(prepared.as[(String, String, Long, String)])
       case org.apache.spark.sql.types.BinaryType =>
         scan(prepared.as[(String, String, Array[Byte], String)])
       case t => throw new IllegalArgumentException(s"unsupported id type $t")
     }
-    out.distinct()
   }
 }

@@ -247,7 +247,11 @@ object EntityResolution {
     // aggregate+broadcast blocking lineage into one cheap columnar scan per
     // consumer instead of a recomputation per plan subtree
     val (keys, blockStats) = materializeKeys(spark, records, work, cfg)
-    val pairs = Blocking.candidatePairs(keys)
+    // raw (non-distinct) branch variants: the single distinct below absorbs
+    // every duplicate in one shuffle — per-branch inner distincts would each
+    // re-shuffle the same pair stream first (measured as the pair-chain
+    // stage family in the scale trace)
+    val pairs = Blocking.candidatePairsRaw(keys)
       .union(Blocking.sortedNeighborhoodPairs(records, cfg.blocking))
       .distinct()
 
@@ -478,7 +482,7 @@ object EntityResolution {
       .localCheckpoint(true)
     ph("sn-drift stale set materialized")
 
-    val pairs = Blocking.candidatePairsInvolving(keysEff, keys)
+    val pairs = Blocking.candidatePairsInvolvingRaw(keysEff, keys)
       .union(snSeed).distinct()
 
     // score only pairs involving a new or key-changed record; all other old

@@ -139,6 +139,19 @@ class BlockingSpec extends AnyFunSuite {
     assert(changed.count() > 0, "no block crossed a size class — loosen the split or maxBlock")
   }
 
+  test("sorted-neighborhood emission is unique without a dedup shuffle") {
+    // sortedNeighborhoodPairsWithBucket dropped its .distinct() on the
+    // argument that a pair can only form in one bucket and is emitted once
+    // there; the incremental drift diff's exceptAll set semantics depend on
+    // this, so gate it on the natural corpus
+    val withB = Blocking.sortedNeighborhoodPairsWithBucket(records)
+    assert(withB.count() == withB.distinct().count(),
+      "duplicate (bucket, main_id, sub_id) emission")
+    val pairs = Blocking.sortedNeighborhoodPairs(records)
+    assert(pairs.count() == pairs.distinct().count(),
+      "a pair formed in more than one bucket")
+  }
+
   test("writeBlockTables == blockKeysWithCounts lineage (incl. still-hot drop branch)") {
     import spark.implicits._
     // exceptAll matches columns positionally; align by name first (the

@@ -458,9 +458,20 @@ object Bench {
       // pair_small/pair_full with their steal_pct fields.
       def quietSides(p: Pair): Boolean =
         !(p.r4.stealPct > 0.10) && !(p.r1.stealPct > 0.10)
+      // Bandwidth analog of the 1-side-steal guard: identical logical work
+      // cannot genuinely cost MORE summed task-seconds at 1 thread than at
+      // 4 (the quiet self-inflation measures 1.2-1.4 on this host), so
+      // work_inflation < 1 means the 1-core stretch was slowed by external
+      // memory pressure the steal counter cannot see — a ratio-FLATTERING
+      // window (measured: a 0.91-inflation pair read 0.875 while a
+      // back-to-back genuinely quiet pair with the fastest 1-core pass on
+      // record read 0.637). Such pairs must not headline over a sane one.
+      def inflationSane(p: Pair): Boolean = p.r4.taskSec / p.r1.taskSec >= 0.95
       def primary: Pair = {
         val cands = pairFull.toSeq :+ pairSmall
-        val pool = { val q = cands.filter(quietSides); if (q.nonEmpty) q else cands }
+        val sane = cands.filter(p => quietSides(p) && inflationSane(p))
+        val quiet = cands.filter(quietSides)
+        val pool = if (sane.nonEmpty) sane else if (quiet.nonEmpty) quiet else cands
         pool.maxBy(p => (p.eff, p.ents))
       }
       def j(x: Double, fmt: String) = if (x.isNaN) "null" else fmt.format(x)

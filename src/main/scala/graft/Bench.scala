@@ -288,6 +288,16 @@ object Bench {
       // slow window still delivers a valid pair instead of a timeout.
       val entitiesSmall = scaleEntities / 5
       val entitiesMid = scaleEntities * 3 / 5
+      // XL tier (2x full): the round-4 structural cuts halved the
+      // pipeline's total work, which LOWERS the single-box ratio ceiling at
+      // a fixed corpus size (per-level flat cost — driver scheduling, CC
+      // stage barriers, parquet commits — is now a larger share of the
+      // shorter 4-core wall). The honest counter-move is more data: at 2x
+      // the full corpus the flat share halves again and the quiet-window
+      // ceiling moves back toward the pipeline's true scaling. Only the
+      // upgrade ladder reaches for it, only when the measured pace says it
+      // fits the remaining budget.
+      val entitiesXl = scaleEntities * 2
       // headline pace vs the recorded quiet-host reference: the cheapest
       // window-speed estimate available before any child is spawned
       val headlineRef =
@@ -309,7 +319,7 @@ object Bench {
       // left on disk by an earlier round reads cold at this host's ~150 MB/s
       // shared disk — a single-machine artifact (N and 4N executor clusters
       // each bring their own disks), so it must not leak into the ratio.
-      Seq(corpus, corpusSmall, corpusMid, warmCorpus).foreach { dir =>
+      def warmDir(dir: String): Unit =
         new java.io.File(dir).listFiles().foreach { f =>
           if (f.getName.endsWith(".parquet")) {
             val in = new java.io.FileInputStream(f)
@@ -317,7 +327,7 @@ object Bench {
                   while (in.read(buf) >= 0) {} } finally in.close()
           }
         }
-      }
+      Seq(corpus, corpusSmall, corpusMid, warmCorpus).foreach(warmDir)
       mark("corpus materialized+warmed")
       // A pair's levels run in ONE child JVM as fresh, fully-stopped
       // local[N] sessions (see ScaleRunner's fidelity notes — sharing the
@@ -342,9 +352,20 @@ object Bench {
       def overheadFor(cpus: Int): Double =
         overheads.getOrElse(cpus,
           if (cpus >= 32) 2.5 * childOverhead else childOverhead)
+      // XL materializes lazily — only if the upgrade ladder actually
+      // reaches for it (one 32-thread generation pass, then page-cache warm
+      // like the upfront corpora)
+      var corpusXlMat: Option[String] = None
       def corpusFor(ents: Long): String =
         if (ents == entitiesSmall) corpusSmall
         else if (ents == entitiesMid) corpusMid
+        else if (ents == entitiesXl) corpusXlMat.getOrElse {
+          val s = session(32)
+          val p = try materializeCorpus(s, entitiesXl) finally s.stop()
+          warmDir(p)
+          mark(s"xl corpus materialized+warmed ($entitiesXl entities)")
+          corpusXlMat = Some(p); p
+        }
         else corpus
       def runSuite(levels: Seq[Int], ents: Long,
                    reserve: Double = 0.0): Map[Int, ScaleResult] = {
@@ -443,6 +464,11 @@ object Bench {
           measurePair(entitiesSmall, None, with32 = runs32.isEmpty)
         }
       var pairFull: Option[Pair] = None
+      // every completed bigger-corpus pair, kept for primary-pair selection
+      // even after a further upgrade replaces pairFull (the JSON field
+      // carries the latest; earlier pairs are already on the wire from
+      // their own emitStage lines)
+      var pairsBig: List[Pair] = Nil
       var pair28: Option[(Long, ScaleResult, ScaleResult)] = None // (entities, r2, r8)
       val shufflePartitions =
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64").toInt
@@ -468,7 +494,7 @@ object Bench {
       // record read 0.637). Such pairs must not headline over a sane one.
       def inflationSane(p: Pair): Boolean = p.r4.taskSec / p.r1.taskSec >= 0.95
       def primary: Pair = {
-        val cands = pairFull.toSeq :+ pairSmall
+        val cands = pairsBig :+ pairSmall
         val sane = cands.filter(p => quietSides(p) && inflationSane(p))
         val quiet = cands.filter(quietSides)
         val pool = if (sane.nonEmpty) sane else if (quiet.nonEmpty) quiet else cands
@@ -643,18 +669,25 @@ object Bench {
           (target.toDouble / pairSmall.ents) * 1.1 + 1.2 * childOverhead
       def upgradeStage(): Unit = stage("bigger-corpus pair upgrade") {
         def pick(): Long = {
-          val cur = math.max(pairSmall.ents, pairFull.map(_.ents).getOrElse(0L))
+          val cur = math.max(pairSmall.ents, pairsBig.map(_.ents).maxOption.getOrElse(0L))
           if (primary.eff >= 0.8) 0L
           else if (cur < scaleEntities &&
                    elapsed + upgradeCost(scaleEntities) < budgetSec) scaleEntities
           else if (cur < entitiesMid &&
                    elapsed + upgradeCost(entitiesMid) < budgetSec) entitiesMid
+          // XL rung: only above a completed full-corpus pair (never skip the
+          // full tier) and only when the linear cost model PLUS one-time
+          // materialization+warm (~90 s) fits the remaining budget
+          else if (cur >= scaleEntities && cur < entitiesXl &&
+                   elapsed + upgradeCost(entitiesXl) + 90 < budgetSec) entitiesXl
           else 0L
         }
         var target = pick()
         while (target != 0L) {
           mark(s"budget allows pair upgrade to $target entities")
-          pairFull = Some(measurePair(target, pairFull.filter(_.ents == target)))
+          val p = measurePair(target, pairsBig.find(_.ents == target))
+          pairFull = Some(p)
+          pairsBig = p :: pairsBig.filterNot(_.ents == target)
           emitStage()
           target = pick()
         }

@@ -143,6 +143,22 @@ object EntityResolution {
       .withColumn("tok", pack_tokens(col("text_norm"), cfg.tokenBits))
       .withColumn("n_tok", packed_count(col("tok")))
 
+  /** Dedup the raw candidate-pair stream so its one shuffle DOUBLES as the
+    * funnel's first join distribution: hash-partitioning by `main_id` alone
+    * still co-locates every copy of a (main_id, sub_id) pair (duplicates are
+    * per-pair), so the dropDuplicates aggregate runs exchange-free on top of
+    * the repartition, and the aggregate's output partitioning — main_id —
+    * satisfies [[scorePairs]]'s first light join, which the planner then
+    * also runs exchange-free. Versus a plain `.distinct()` (hash on both
+    * columns) this removes one full pair-stream exchange; shuffle bytes are
+    * unchanged because a pair's duplicate copies come from UNRELATED block
+    * keys (domain/LSH/SN) that live in different map partitions, where
+    * distinct's map-side combine never saw them anyway. Per-main_id pair
+    * counts are bounded by the blocking caps (maxBlock·keys-per-record +
+    * snWindow), so the single-column partitioning cannot skew. */
+  private def dedupPairs(raw: DataFrame): DataFrame =
+    raw.repartition(col("main_id")).dropDuplicates("main_id", "sub_id")
+
   /** Ensemble score ∈ [0,1] for a pair of normalized records. */
   def scoreExpr(cfg: Config,
                 titleA: Column, textA: Column,
@@ -193,10 +209,14 @@ object EntityResolution {
     // exact stage: shuffle precomputed PACKED token sets for survivors only
     // (~0.4 KB/row packed vs ~1.2 KB as a raw long array vs ~2.5 KB raw
     // text); the streaming-merge jaccard value is identical to scoring the
-    // sorted hash arrays
+    // sorted hash arrays. Join ORDER is partition-aware: the survivors leave
+    // the prefilter partitioned (and sorted) by sub_id — the lightB join's
+    // distribution, preserved through filter/project — so joining tok_b
+    // FIRST reuses it exchange-free and only the tok_a join re-shuffles the
+    // (small, post-filter) survivor stream.
     val tokA = withTok.select(col("id").as("main_id"), col("tok").as("tok_a"))
     val tokB = withTok.select(col("id").as("sub_id"), col("tok").as("tok_b"))
-    pre.join(tokA, "main_id").join(tokB, "sub_id")
+    pre.join(tokB, "sub_id").join(tokA, "main_id")
       .select(col("main_id"), col("sub_id"),
         (lit(cfg.wJaroWinkler) * col("jw") +
           lit(cfg.wTokenJaccard) * packed_jaccard(col("tok_a"), col("tok_b")) +
@@ -247,13 +267,12 @@ object EntityResolution {
     // aggregate+broadcast blocking lineage into one cheap columnar scan per
     // consumer instead of a recomputation per plan subtree
     val (keys, blockStats) = materializeKeys(spark, records, work, cfg)
-    // raw (non-distinct) branch variants: the single distinct below absorbs
+    // raw (non-distinct) branch variants: the single dedup below absorbs
     // every duplicate in one shuffle — per-branch inner distincts would each
     // re-shuffle the same pair stream first (measured as the pair-chain
     // stage family in the scale trace)
-    val pairs = Blocking.candidatePairsRaw(keys)
-      .union(Blocking.sortedNeighborhoodPairs(records, cfg.blocking))
-      .distinct()
+    val pairs = dedupPairs(Blocking.candidatePairsRaw(keys)
+      .union(Blocking.sortedNeighborhoodPairs(records, cfg.blocking)))
 
     // Stage 2 materialization: accepted match edges (small — one row per
     // cross-source match). Blocking + scoring run exactly once, inside this
@@ -482,8 +501,8 @@ object EntityResolution {
       .localCheckpoint(true)
     ph("sn-drift stale set materialized")
 
-    val pairs = Blocking.candidatePairsInvolvingRaw(keysEff, keys)
-      .union(snSeed).distinct()
+    val pairs = dedupPairs(
+      Blocking.candidatePairsInvolvingRaw(keysEff, keys).union(snSeed))
 
     // score only pairs involving a new or key-changed record; all other old
     // edges are reused verbatim except the stale SN set computed above
@@ -630,19 +649,32 @@ object EntityResolution {
   private def buildIntegrated(records: DataFrame, edges: DataFrame,
                               components: DataFrame): DataFrame = {
     // per-record confidence: best accepted edge score on either side
+    // (edges are tiny — one row per accepted match — so this frame
+    // broadcasts into the join below)
     val conf = edges.select(col("main_id").as("id"), col("score"))
       .union(edges.select(col("sub_id").as("id"), col("score")))
       .groupBy("id").agg(max("score").as("best_score"))
+    // Shuffle inventory (the record stream is the wide side): the two id
+    // joins share ONE exchange — conf joins while the stream is still
+    // partitioned by id from the components join — and MatchID is a window
+    // aggregate over cid, ONE more exchange, instead of the groupBy +
+    // join-back shape that re-executes the upstream join per DAG branch and
+    // re-shuffles the stream a second time for the join-back. Two
+    // record-stream exchanges total (was four). A pathological giant
+    // cluster makes one window task heavy (the buffer spills via
+    // ExternalAppendOnlyUnsafeRowArray, never OOMs); cluster sizes here are
+    // entity-bounded, and the agg+join-back shape remains the AQE-splittable
+    // fallback if a corpus ever concentrates one component.
     val withComp = records.select(col("id"), col("url"), col("source"),
         col("warc_ts"), col("lang"))
       .join(components.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .join(conf, Seq("id"), "left")
       .withColumn("cid", coalesce(col("component"), col("id")))
     // MatchID = smallest url in the cluster: deterministic, human-readable,
     // and independent of the id hashing scheme
-    val matchIds = withComp.groupBy("cid").agg(min("url").as("MatchID"))
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cid")
     withComp
-      .join(matchIds, "cid")
-      .join(conf, Seq("id"), "left")
+      .withColumn("MatchID", min("url").over(byCluster))
       .select(
         col("url").as("RecordId"),
         col("source").as("InputSourceARN"),

@@ -31,7 +31,8 @@ object GraftSession {
       // and ~half the local[32] wall). At cluster scale the floor is inert
       // (bytes/128 MB ≫ 4×cores) and `openCostInBytes` (4 MB) still keeps
       // small stage tables from over-splitting.
-      .config("spark.sql.files.minPartitionNum", (4 * cpus).toString)
+      .config("spark.sql.files.minPartitionNum",
+        (sys.env.getOrElse("SPARK_GRAFT_LEAF_MULT", "4").toInt * cpus).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"

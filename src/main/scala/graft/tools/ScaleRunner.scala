@@ -64,9 +64,17 @@ object ScaleRunner {
         val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
         val shr = si.taskMetrics.shuffleReadMetrics.totalBytesRead / 1048576.0
         val shw = si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1048576.0
+        // SQL stages all report an opaque CompletableFuture callsite in
+        // si.name; the first graft frame in si.details names the pipeline
+        // step that planned the stage — the label that makes per-stage
+        // inflation attributable
+        val graftFrame = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("ScaleRunner"))
+          .map(_.trim.stripPrefix("at ").take(60))
+          .getOrElse(si.name.takeWhile(_ != '\n').take(60))
         stageRows.add(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%3d " +
           f"wall=$wall%6.2f run=$run%7.2f cpu=$cpu%7.2f shR=$shr%7.1fMB shW=$shw%7.1fMB " +
-          si.name.takeWhile(_ != '\n').take(60))
+          graftFrame)
       }
     }
 

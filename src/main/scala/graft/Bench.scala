@@ -632,16 +632,28 @@ object Bench {
       // probe corpus is 2x the 1/5 corpus; normalize the pace estimate to
       // that size whatever size the first pair ran at
       val r4At1x = pairSmall.r4.sec * entitiesSmall.toDouble / pairSmall.ents
-      val probeEst = 5.0 * r4At1x + 150
+      // Probe corpus scales with the budget: the round-4 work halving made
+      // the full resolve so fast that at 2x the 1/5 corpus the incremental
+      // fold's fixed stage barriers (three durable keys-fold stages, CC
+      // rounds) outweigh the 12x scoring saving and the wall ratio reads
+      // < 1 — an honest number about the wrong regime (phase-profiled:
+      // keys fold 9.5 s of a 27 s fold vs 5.1 s of scoring at 300 k docs).
+      // A 4x corpus puts scoring back in charge of both walls. Cost model:
+      // timed sides scale ~linearly in corpus (2.5·k·r4At1x), prior-state
+      // resolve is cached across reps and rounds (+150 s covers a cold
+      // first build either way).
+      def probeEstAt(k: Int) = 2.5 * k * r4At1x + 150
+      val probeMult = if (elapsed + probeEstAt(4) < budgetSec) 4 else 2
+      val probeEst = probeEstAt(probeMult)
       if (elapsed + probeEst < budgetSec) stage("incremental probe") {
-        mark("incremental probe")
+        mark(s"incremental probe (${probeMult}x corpus)")
         incJson = {
           val s = session(math.min(cpus, 16))
           // a second interleaved rep (window re-roll, min-fold per side)
           // only when the budget clearly covers it
           val reps = if (elapsed + 1.8 * probeEst < budgetSec) 2 else 1
           try graft.tools.IncrementalProbe.measure(
-            s, materializeCorpus(s, entitiesSmall * 2), mod = 25, maxReps = reps)
+            s, materializeCorpus(s, entitiesSmall * probeMult), mod = 25, maxReps = reps)
           finally s.stop()
         }
         emitStage()

@@ -341,49 +341,52 @@ object Blocking {
     * BlockingSpec). That property is what lets the incremental path
     * ([[graft.pipeline.EntityResolution.resolveIncremental]]) recompute SN
     * only over buckets containing a new/key-changed record and treat every
-    * other bucket's prior pairs as exact. */
+    * other bucket's prior pairs as exact.
+    *
+    * Implementation note (a determinism POSTMORTEM, round 4): this pass
+    * was a `repartition(bucket) → sortWithinPartitions → mapPartitions`
+    * sliding-window scan. The repartition was ADVISORY: when a consumer
+    * computed SN over a semi-joined record subset (the incremental path),
+    * Catalyst collapsed the user repartition into the join's
+    * ENSURE_REQUIREMENTS exchange — and when AQE then converted that join
+    * to a broadcast join, the exchange vanished entirely, leaving the
+    * stateful scan running over raw FILE SPLITS. A bucket spanning two
+    * splits produced fragment-local windows: the pair set depended on the
+    * parquet file layout (measured: ±3% of SN pairs flipping between two
+    * byte-identical-content prior states), and the incremental fold could
+    * silently MISS pairs a full run generates. The fix is structural, not
+    * a tweak: the scan is now a SQL window aggregate — `WindowExec`
+    * DECLARES ClusteredDistribution(bucket) as its required child
+    * distribution, which the planner and AQE must always satisfy, so the
+    * bucket co-location is part of the operator's contract instead of an
+    * advisory hint. (Also faster: no DeserializeToObject/object row in the
+    * hot path, and one code path serves both 64-bit long and 128-bit
+    * binary ids.) */
   def sortedNeighborhoodPairsWithBucket(records: DataFrame,
                                         cfg: Config = Config()): DataFrame = {
-    import records.sparkSession.implicits._
-    val prepared = records
-      .select(substring(col("sort_key"), 1, cfg.snBucketLen).as("bucket"),
-        col("sort_key"), col("id"), col("source"))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("bucket", "sort_key", "id")
-    val w = cfg.snWindow
-    // window scan generic in the id type: ids are opaque here (buffered and
-    // re-emitted, never compared), so the same logic serves the 64-bit long
-    // ids and the 128-bit binary ids (EntityResolution.Config.idBits) — only
-    // the encoder differs
-    def scan[I](ds: org.apache.spark.sql.Dataset[(String, String, I, String)])(
-        implicit enc: org.apache.spark.sql.Encoder[(String, I, I)]) =
-      ds.mapPartitions { it =>
-        var bucket: String = null
-        val buf = scala.collection.mutable.Queue.empty[(I, String)] // (id, source)
-        it.flatMap { case (b, _, id, source) =>
-          if (b != bucket) { bucket = b; buf.clear() }
-          val pairs = buf.iterator.collect {
-            case (u, s) if s != source =>
-              if (s == "main") (b, u, id) else (b, id, u) // (bucket, main_id, sub_id)
-          }.toVector
-          buf.enqueue((id, source))
-          if (buf.size > w) buf.dequeue()
-          pairs
-        }
-      }.toDF("bucket", "main_id", "sub_id")
+    // ≤ snWindow PREDECESSORS of each record in (sort_key, id) order within
+    // the record's content-defined bucket — ties impossible (ids unique),
+    // so the order, and therefore the pair set, is a pure content function
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("sort_key", "id")
+      .rowsBetween(-cfg.snWindow, -1)
     // No dedup shuffle: the emission is unique BY CONSTRUCTION (spec-gated,
     // BlockingSpec). Each record belongs to exactly one content-defined
     // bucket (its own sort-key prefix) and record ids are unique (the
     // pipeline's dictionary audit), so a pair can only form in one bucket;
-    // within a bucket the window scan emits (earlier, later) exactly once —
-    // when `later` arrives with `earlier` still buffered. Uniqueness is what
-    // the incremental drift diff's exceptAll set semantics rely on.
-    records.schema("id").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        scan(prepared.as[(String, String, Long, String)])
-      case org.apache.spark.sql.types.BinaryType =>
-        scan(prepared.as[(String, String, Array[Byte], String)])
-      case t => throw new IllegalArgumentException(s"unsupported id type $t")
-    }
+    // within a bucket the sliding frame emits (earlier, later) exactly once
+    // — when `later` is current with `earlier` still inside the frame.
+    // Uniqueness is what the incremental drift diff's exceptAll set
+    // semantics rely on.
+    records
+      .select(substring(col("sort_key"), 1, cfg.snBucketLen).as("bucket"),
+        col("sort_key"), col("id"), col("source"))
+      .withColumn("pred",
+        collect_list(struct(col("id").as("pid"), col("source").as("psrc"))).over(w))
+      .select(col("bucket"), col("id"), col("source"), explode(col("pred")).as("p"))
+      .filter(col("p.psrc") =!= col("source"))
+      .select(col("bucket"),
+        when(col("p.psrc") === "main", col("p.pid")).otherwise(col("id")).as("main_id"),
+        when(col("p.psrc") === "main", col("id")).otherwise(col("p.pid")).as("sub_id"))
   }
 }

@@ -156,7 +156,7 @@ object EntityResolution {
     * distinct's map-side combine never saw them anyway. Per-main_id pair
     * counts are bounded by the blocking caps (maxBlock·keys-per-record +
     * snWindow), so the single-column partitioning cannot skew. */
-  private def dedupPairs(raw: DataFrame): DataFrame =
+  private[graft] def dedupPairs(raw: DataFrame): DataFrame =
     raw.repartition(col("main_id")).dropDuplicates("main_id", "sub_id")
 
   /** Ensemble score ∈ [0,1] for a pair of normalized records. */
@@ -346,6 +346,11 @@ object EntityResolution {
     def ph(m: String): Unit =
       if (sys.env.get("SPARK_GRAFT_PHASES").contains("1"))
         System.err.println(f"[inc-phase] +${(System.nanoTime() - tInc0) / 1e9}%.1fs $m")
+    // determinism bisection: count every intermediate frame (extra actions —
+    // diagnosis only, off by default)
+    val foldCounts = sys.env.get("SPARK_GRAFT_FOLD_COUNTS").contains("1")
+    def fc(name: String, df: => DataFrame): Unit =
+      if (foldCounts) System.err.println(s"[fold-count] $name=${df.count()}")
 
     // the incremental ≡ full-re-resolve proof assumes the prior run's
     // semantic config equals this one's (SN drift / key-diff arguments are
@@ -467,6 +472,9 @@ object EntityResolution {
     }
     val seedIds = newIds.union(keyChangedIds).distinct()
     val keysEff = keys.join(seedIds, Seq("id"), "left_semi")
+    fc("keyChangedIds", keyChangedIds)
+    fc("keys", keys)
+    fc("keysEff", keysEff)
 
     val bucketOf = substring(col("sort_key"), 1, cfg.blocking.snBucketLen)
     val touchedBuckets = records.join(seedIds, Seq("id"), "left_semi")
@@ -485,7 +493,13 @@ object EntityResolution {
     // boundaries are content-defined so the restriction is exact)
     val snPrior = Blocking.sortedNeighborhoodPairs(
       snRecords.join(newIds, Seq("id"), "left_anti"), cfg.blocking)
-    val snDropped = snPrior.exceptAll(sn)
+    // eager: the exceptAll output has no size stats, so a LAZY snDropped
+    // makes both keys joins below plan as full-table shuffle joins of the
+    // corpus-wide key stream against what is almost always an empty/tiny
+    // set; materialized, AQE sees the real size and broadcasts snDropped,
+    // turning the keys sides into shuffle-free scans (phase-profiled: the
+    // stale-set phase was 5.0 s of a 31 s fold at 600 k docs)
+    val snDropped = snPrior.exceptAll(sn).localCheckpoint(true)
     // a dropped SN pair still generated by a shared (current) block key is
     // still a full-run candidate — its edge survives
     val sharedKey = snDropped
@@ -501,8 +515,14 @@ object EntityResolution {
       .localCheckpoint(true)
     ph("sn-drift stale set materialized")
 
+    fc("touchedBuckets", touchedBuckets)
+    fc("snRecords", snRecords)
+    fc("sn", sn)
+    fc("snSeed", snSeed)
+    fc("candInvolvingRaw", Blocking.candidatePairsInvolvingRaw(keysEff, keys))
     val pairs = dedupPairs(
       Blocking.candidatePairsInvolvingRaw(keysEff, keys).union(snSeed))
+    fc("pairs", pairs)
 
     // score only pairs involving a new or key-changed record; all other old
     // edges are reused verbatim except the stale SN set computed above

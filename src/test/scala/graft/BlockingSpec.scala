@@ -152,6 +152,34 @@ class BlockingSpec extends AnyFunSuite {
       "a pair formed in more than one bucket")
   }
 
+  test("sorted-neighborhood pairs are independent of input file layout (incl. under a semi-join)") {
+    // Round-4 postmortem regression pin: the mapPartitions-era SN pass
+    // relied on an ADVISORY repartition(bucket) that Catalyst collapsed
+    // into a semi-join's exchange — and AQE's broadcast conversion then
+    // removed entirely, leaving the stateful scan on raw file splits, where
+    // a bucket spanning two files lost its cross-file pairs (~3% of pairs
+    // flipped with the parquet layout). The window-aggregate form DECLARES
+    // its bucket distribution, so the pair set must be a pure content
+    // function. Write the same records in two very different layouts, SN
+    // them through the incremental path's semi-join shape, assert equality.
+    val dir = java.nio.file.Files.createTempDirectory("graft-snlayout").toString
+    records.coalesce(1).write.mode("overwrite").parquet(s"$dir/one")
+    records.repartition(13).write.mode("overwrite").parquet(s"$dir/many")
+    val subsetIds = records.select("id").limit(300)
+    def snOf(path: String) = {
+      val recs = spark.read.parquet(path)
+      val bucketOf = substring(col("sort_key"), 1, Blocking.Config().snBucketLen)
+      val touched = recs.join(subsetIds, Seq("id"), "left_semi")
+        .select(bucketOf.as("b")).distinct()
+      Blocking.sortedNeighborhoodPairs(
+        recs.join(touched, bucketOf === col("b"), "left_semi"))
+    }
+    val a = snOf(s"$dir/one")
+    val b = snOf(s"$dir/many")
+    assert(a.count() == b.count() && a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "SN pair set depends on the input parquet layout")
+  }
+
   test("writeBlockTables == blockKeysWithCounts lineage (incl. still-hot drop branch)") {
     import spark.implicits._
     // exceptAll matches columns positionally; align by name first (the

@@ -208,7 +208,8 @@ object Blocking {
    *
    * `stage(name, df)` must write `df` durably and return the read-back
    * frame — it is applied to the tables the NEXT fold reads as prior state
-   * (raw_counts, sizes2, keys). Per-fold scratch that feeds several actions
+   * (raw_counts, sizes2, and the keys chain's keys_delta/keys_tombstones
+   * — see the chain note below). Per-fold scratch that feeds several actions
    * but no future fold (crossed blocks, changed ids) is materialized with an
    * eager localCheckpoint instead: a lazy plan would re-run the whole merge
    * per consuming action (measured 2.3x the legacy recompute), while a
@@ -266,15 +267,27 @@ object Blocking {
     // fold only, never read by the next one
     val changedOldIds = oldCrossedRows.select("id").union(hotChangedIds)
       .distinct().localCheckpoint(true)
-    // the full keys table is still REWRITTEN per fold here; at true 10^12
-    // scale it becomes a manifest chain like the records table (prior keys
-    // files + per-fold delta + crossed/hot tombstones) — the consumers only
-    // ever scan it columnar, so the swap is mechanical
-    val keysAll = stage("keys", priorKeys
-      .join(broadcast(crossed), Seq("block_key"), "left_anti")
-      .unionByName(oldReKeyed)
-      .unionByName(batchKeyed)
-      .join(broadcast(stillHotAll.select("block_key")), Seq("block_key"), "left_anti"))
+    // The keys table is maintained as a MANIFEST CHAIN, not a rewrite: the
+    // fold stages only a batch+crossed-sized DELTA (the re-keyed old rows
+    // plus the batch's rows, minus still-hot drops) and a tiny TOMBSTONE
+    // table (block keys whose prior rows are all superseded: raw blocks
+    // that crossed the re-key class, plus newly-hot keys). The caller
+    // appends both paths to its chain manifests; readers assemble
+    //   keys = union(chain files) ANTI-JOIN broadcast(union(tombstones)).
+    // Equivalence with the full rewrite: prior rows of previously-still-hot
+    // keys are already absent from the chain (dropped by the fold that saw
+    // them cross), so tombstoning (crossed ∪ newlyHot) on the prior frame
+    // equals the rewrite's anti-joins — spec-gated against the full
+    // recompute (BlockingSpec). This is the O(batch)-per-fold shape the
+    // 10^12-record lifecycle needs: no per-fold O(corpus) key rewrite.
+    val keysDelta = stage("keys_delta",
+      oldReKeyed.unionByName(batchKeyed)
+        .join(broadcast(stillHotAll.select("block_key")), Seq("block_key"), "left_anti"))
+    val tombstones = stage("keys_tombstones",
+      crossed.unionByName(newlyHot).distinct())
+    val keysAll = priorKeys
+      .join(broadcast(tombstones), Seq("block_key"), "left_anti")
+      .unionByName(keysDelta)
     (keysAll, statsOf(sizes2All, cfg), changedOldIds)
   }
 

@@ -444,13 +444,43 @@ object EntityResolution {
         ph(s"  keys-fold stage: $name")
         spark.read.parquet(s"$work/$name.parquet")
       }
+      // prior keys = the manifest chain's assembly (a base resolve dir is a
+      // one-file chain); validate like the records manifest — a vanished
+      // chain file must fail loudly, not as a deep parquet error
+      val (priorKeyPaths, priorTombPaths) = readKeysChain(priorWorkDir)
+      val chainMissing = (priorKeyPaths ++ priorTombPaths).filterNot(p =>
+        new java.io.File(p).isDirectory && new java.io.File(p, "_SUCCESS").exists())
+      require(chainMissing.isEmpty,
+        s"keys manifest chain broken — prior state files missing: " +
+          s"${chainMissing.mkString(", ")} (earlier incremental state dirs " +
+          "must outlive the table; copy them forward before vacuuming)")
       val (keysAll, stats, changedOldIds) = Blocking.mergeBlockKeys(
-        spark.read.parquet(s"$priorWorkDir/keys.parquet"),
+        assembleKeys(spark, priorKeyPaths, priorTombPaths),
         spark.read.parquet(s"$priorWorkDir/raw_counts.parquet"),
         spark.read.parquet(s"$priorWorkDir/sizes2.parquet"),
         newRecords, records, cfg.blocking, stager)
       ph("keys folded additively")
-      (keysAll, stats, changedOldIds)
+      // chain manifests: this fold appended keys_delta + keys_tombstones;
+      // compact back to one file once the chain is long (amortized
+      // O(batch) — the rewrite runs once per compactLen folds)
+      val keyPaths = priorKeyPaths :+ s"$work/keys_delta.parquet"
+      val tombPaths = priorTombPaths :+ s"$work/keys_tombstones.parquet"
+      val keysOut = if (keyPaths.length >= keysChainCompactLen) {
+        keysAll.write.mode("overwrite").parquet(s"$work/keys.parquet")
+        writeKeysChain(work, Seq(s"$work/keys.parquet"), Seq.empty)
+        ph("keys chain compacted")
+        spark.read.parquet(s"$work/keys.parquet")
+      } else {
+        writeKeysChain(work, keyPaths, tombPaths)
+        // per-fold scratch (the established multi-consumer discipline): the
+        // assembled chain view feeds ~5 consumer scans this fold (keysEff,
+        // both candidate-join sides, both sharedKey sides); an eager
+        // localCheckpoint materializes the union+anti once instead of per
+        // consumer. The DURABLE next-fold state stays the O(batch)
+        // delta+tombstone chain — this is a read-side cache, not a rewrite.
+        keysAll.localCheckpoint(true)
+      }
+      (keysOut, stats, changedOldIds)
     } else {
       // legacy prior state: recompute keys over all records, then diff
       // against the prior keys table per id (sorted key-set compare — one
@@ -617,6 +647,47 @@ object EntityResolution {
     else Seq(s"$work/records.parquet")
   }
 
+  /** Keys-table manifest chain: `keys.list` holds the delta file paths
+    * whose union, minus the block keys in the `tombstones.list` files,
+    * equals the current keys table ([[Blocking.mergeBlockKeys]] chain
+    * note). A base resolve dir (no `keys.list`) is a one-file chain with
+    * no tombstones. Chains are compacted back to a single file once they
+    * grow past [[keysChainCompactLen]] files — amortized O(batch), and the
+    * read-side broadcast anti-join stays bounded. */
+  private def writeKeysChain(work: String, keyPaths: Seq[String],
+                             tombPaths: Seq[String]): Unit = {
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(work, "keys.list"), keyPaths.mkString("\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(work, "tombstones.list"), tombPaths.mkString("\n"))
+  }
+
+  private def readKeysChain(work: String): (Seq[String], Seq[String]) = {
+    val kp = java.nio.file.Paths.get(work, "keys.list")
+    if (java.nio.file.Files.exists(kp)) {
+      val tp = java.nio.file.Paths.get(work, "tombstones.list")
+      val tombs = if (java.nio.file.Files.exists(tp))
+        java.nio.file.Files.readString(tp).split("\n").toSeq.filter(_.nonEmpty)
+      else Seq.empty
+      (java.nio.file.Files.readString(kp).split("\n").toSeq.filter(_.nonEmpty), tombs)
+    } else (Seq(s"$work/keys.parquet"), Seq.empty)
+  }
+
+  /** Chain files before a compacting rewrite (test override via the
+    * `graft.keys.compact.len` system property). */
+  private def keysChainCompactLen: Int =
+    sys.props.get("graft.keys.compact.len").map(_.toInt).getOrElse(8)
+
+  /** union(chain) minus tombstoned block keys — the current keys table. */
+  private def assembleKeys(spark: SparkSession, keyPaths: Seq[String],
+                           tombPaths: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(keyPaths: _*)
+    if (tombPaths.isEmpty) base
+    else base.join(
+      broadcast(spark.read.parquet(tombPaths: _*).select("block_key").distinct()),
+      Seq("block_key"), "left_anti")
+  }
+
   /** Compute block keys once and materialize them as a stage table; the
     * stats frame aggregates the deep lineage (so dropped-block metrics stay
     * exact) while every downstream consumer scans the columnar keys. The
@@ -629,6 +700,8 @@ object EntityResolution {
                               work: String,
                               cfg: Config): (DataFrame, DataFrame) = {
     Blocking.writeBlockTables(records, work, cfg.blocking)
+    // a full (re)build is a one-file keys chain with no tombstones
+    writeKeysChain(work, Seq(s"$work/keys.parquet"), Seq.empty)
     // stats over the PERSISTED sizes table — a stats consumer must not
     // silently re-derive the whole key stream through the lazy lineage
     (spark.read.parquet(s"$work/keys.parquet"),

@@ -62,6 +62,34 @@ class IncrementalSpec extends AnyFunSuite {
     assert(inc3.integrated.count() == full.integrated.count())
   }
 
+  test("keys-chain compaction: fold at the compaction length == full re-resolve") {
+    // compactLen 2 ⇒ the FIRST fold already compacts its chain (base +
+    // delta = 2 files); the second fold then reads a compacted one-file
+    // chain — both chain shapes exercised, both bit-exact vs full
+    System.setProperty("graft.keys.compact.len", "2")
+    try {
+      val all = graft.testgen.WebCorpus.pages(spark, 500).toDF().cache()
+      val slot = pmod(xxhash64(col("url")), lit(5))
+      val Seq(c1, c2, c3, c4) = (1 to 4).map(i =>
+        Files.createTempDirectory(s"graft-cmp$i").toString)
+      EntityResolution.resolve(all.filter(slot < 3),
+        EntityResolution.Config(workDir = Some(c1))).integrated.count()
+      EntityResolution.resolveIncremental(all.filter(slot === 3), c1,
+        EntityResolution.Config(workDir = Some(c2))).integrated.count()
+      assert(new java.io.File(s"$c2/keys.parquet/_SUCCESS").exists(),
+        "fold at the compaction length did not compact its keys chain")
+      val inc = EntityResolution.resolveIncremental(all.filter(slot === 4), c2,
+        EntityResolution.Config(workDir = Some(c3)))
+      val full = EntityResolution.resolve(all,
+        EntityResolution.Config(workDir = Some(c4)))
+      val cols = Seq("RecordId", "InputSourceARN", "MatchID", "ConfidenceLevel")
+      val a = inc.integrated.select(cols.map(col): _*)
+      val b = full.integrated.select(cols.map(col): _*)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        "fold over a compacted keys chain differs from full re-resolve")
+    } finally System.clearProperty("graft.keys.compact.len")
+  }
+
   // one hot-domain block, crafted sizes: prior = 60 rows (≤ maxBlock = 64,
   // NOT re-keyed), batch pushes it to 70 (> 64 → every member's key set
   // changes via hierarchical re-keying)

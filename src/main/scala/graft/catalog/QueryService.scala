@@ -23,6 +23,30 @@ object QueryService {
   val InlineRowCap = 300
   val PreviewRows = 20
 
+  /**
+   * Structural SELECT-only guard. The reference enforces read-only SQL by
+   * prompt (agent_processor.py:118-128 tells the model "only SELECT"); an
+   * engine must enforce it structurally. `spark.sql` EAGERLY executes
+   * commands (DROP/INSERT/SET run inside the call), so the check parses the
+   * text first and rejects any plan containing a command or DML node before
+   * anything executes.
+   */
+  private[catalog] def requireReadOnly(spark: SparkSession, text: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, ParsedStatement}
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val offending = parsed.collectFirst {
+      case c: Command             => c.nodeName
+      case i: InsertIntoStatement => i.nodeName
+      // DDL/DML that parses to a statement node (CREATE TABLE AS, etc.)
+      // rather than a Command; plain queries never parse to ParsedStatement.
+      case s: ParsedStatement     => s.nodeName
+    }
+    offending.foreach { node =>
+      throw new IllegalArgumentException(
+        s"read-only SQL surface: rejected non-query statement ($node)")
+    }
+  }
+
   case class ShapedResult(
       columns: Seq[String],
       inline: Seq[Row], // ≤ InlineRowCap rows; preview when truncated
@@ -30,8 +54,11 @@ object QueryService {
       totalRows: Option[Long], // counted only when truncated (extra job)
       csvPath: Option[String])
 
-  /** Execute SQL text against the registered catalog views. */
-  def sql(spark: SparkSession, text: String): DataFrame = spark.sql(text)
+  /** Execute SQL text against the registered catalog views (SELECT-only). */
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    requireReadOnly(spark, text)
+    spark.sql(text)
+  }
 
   /**
    * Execute + shape. `exportDir`: where to write the full CSV when the
@@ -40,6 +67,7 @@ object QueryService {
    */
   def execute(spark: SparkSession, text: String,
               exportDir: Option[String] = None): ShapedResult = {
+    requireReadOnly(spark, text)
     val df = spark.sql(text)
     val probe = df.take(InlineRowCap + 1)
     if (probe.length <= InlineRowCap) {
@@ -47,7 +75,11 @@ object QueryService {
     } else {
       val csv = exportDir.map { dir =>
         val path = s"$dir/export-${math.abs(text.hashCode)}"
-        df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+        // Partitioned write: every input partition exports in parallel (each
+        // part file carries its own header). A coalesce(1) here would funnel
+        // a 10^9-row export through one task; the directory IS the download
+        // artifact, mirroring a multipart S3 export.
+        df.write.mode("overwrite").option("header", "true").csv(path)
         path
       }
       ShapedResult(df.columns.toSeq, probe.take(PreviewRows).toSeq,

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
  *     iteration shuffles and compares 8-byte longs, not 60–120-byte url
  *     strings — severalfold less per-task memory traffic, the quantity that
  *     binds under high thread/executor parallelism.
- *   - Neither star step materializes neighbor lists: each is a partial-
- *     aggregated `groupBy.min` plus one equi-join — no collect_set, so a
- *     celebrity node (huge star) costs O(|N|) rows, never O(|N|^2) memory.
+ *   - Neither star step materializes neighbor lists: each is ONE whole-
+ *     partition window min over the (symmetrized/oriented) edge stream —
+ *     no collect_set and no groupBy+re-join double shuffle, so a celebrity
+ *     node (huge star) costs O(|N|) spillable rows, never O(|N|^2) memory,
+ *     and each half-iteration exchanges the 16-byte edge rows exactly once.
  *   - Every iteration ends in `localCheckpoint` to cut the lineage chain
  *     (Catalyst does not optimize across iterations) and optionally writes
  *     a durable per-iteration snapshot + per-partition match-count metrics
@@ -32,33 +34,51 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Large-star: for every node u, connect its LARGER neighbors to
-    * m = min(N(u) ∪ {u}). Keeps components intact, shrinks tall trees. */
+    * m = min(N(u) ∪ {u}). Keeps components intact, shrinks tall trees.
+    *
+    * One-pass shape: a whole-partition window min over the symmetrized
+    * stream replaces the former groupBy.min + self-join — ONE exchange of
+    * the 16-byte edge rows per half-iteration instead of two (the join
+    * re-shuffled the full stream a second time plus the per-node mins).
+    * WindowExec DECLARES ClusteredDistribution(src), so the result is
+    * layout-independent by operator contract (the r4 sorted-neighborhood
+    * postmortem rule), and its group buffer spills, so a celebrity node
+    * costs O(|N|) spillable rows, never O(|N|^2) memory. */
   private def largeStar(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src").as("u"), least(col("mn"), col("u")).as("m"))
-    sym.filter(col("dst") > col("src"))
-      .join(mins, col("src") === col("u"))
+    val m = least(min("dst").over(Window.partitionBy("src")), col("src"))
+    sym.select(col("src"), col("dst"), m.as("m"))
+      .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .filter(col("src") =!= col("dst"))
-    // no distinct here: smallStar (always applied next) dedupes, so the
-    // extra exchange would only add an iteration-latency barrier
+    // m ≤ src < dst, so no self-edge can emerge; no distinct here:
+    // smallStar (always applied next) dedupes, so the extra exchange would
+    // only add an iteration-latency barrier
   }
 
   /** Small-star: edges oriented high→low; connect every low neighbor (and u)
-    * to the minimum low neighbor. */
+    * to the minimum low neighbor.
+    *
+    * Same one-pass window shape as [[largeStar]]: min(lo) per hi rides one
+    * exchange; the (hi, m) root edge is recovered from the rows where
+    * lo == m instead of a separate per-node mins frame, and the input
+    * distinct is dropped entirely — duplicates cannot change a min, and the
+    * output distinct (already present) absorbs them. Net: two exchanges per
+    * half-iteration (window + output distinct) where the former shape paid
+    * four (input distinct, groupBy, join, output distinct). */
   private def smallStar(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dir = edges.select(
       greatest(col("src"), col("dst")).as("hi"),
       least(col("src"), col("dst")).as("lo"))
       .filter(col("hi") =!= col("lo"))
-      .distinct()
-    val mins = dir.groupBy("hi").agg(min("lo").as("m"))
-    val lows = dir.join(mins, "hi")
-      .filter(col("lo") =!= col("m"))
+    val dm = dir.select(col("hi"), col("lo"),
+      min("lo").over(Window.partitionBy("hi")).as("m"))
+    val lows = dm.filter(col("lo") =!= col("m"))
       .select(col("lo").as("src"), col("m").as("dst"))
-    val his = mins.select(col("hi").as("src"), col("m").as("dst"))
+    val his = dm.filter(col("lo") === col("m"))
+      .select(col("hi").as("src"), col("m").as("dst"))
     lows.union(his).distinct()
   }
 

@@ -627,7 +627,14 @@ object EntityResolution {
     * the chain of state dirs must outlive the table). */
   private def writeRecordsList(work: String, paths: Seq[String]): Unit =
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(work, "records.list"), paths.mkString("\n"))
+      java.nio.file.Paths.get(work, "records.list"),
+      paths.map(absolutize).mkString("\n"))
+
+  /** Chain manifests must survive a CWD change: a relative workDir written
+    * verbatim would make every later fold CWD-dependent (the earlier dirs
+    * are live state until compaction), so paths are absolutized on write. */
+  private def absolutize(p: String): String =
+    java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
 
   private def writeConfigSig(work: String, cfg: Config): Unit =
     java.nio.file.Files.writeString(
@@ -656,19 +663,33 @@ object EntityResolution {
     * read-side broadcast anti-join stays bounded. */
   private def writeKeysChain(work: String, keyPaths: Seq[String],
                              tombPaths: Seq[String]): Unit = {
+    // tombstones FIRST: keys.list is the manifest's existence marker on the
+    // read side, so a crash between the two writes must leave the chain
+    // UNREADABLE (loud chain-broken error next fold), never readable with
+    // the tombstones silently missing — that would resurrect every
+    // tombstoned (crossed/newly-hot) key row and diverge from a full
+    // re-resolve without any error.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(work, "keys.list"), keyPaths.mkString("\n"))
+      java.nio.file.Paths.get(work, "tombstones.list"),
+      tombPaths.map(absolutize).mkString("\n"))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(work, "tombstones.list"), tombPaths.mkString("\n"))
+      java.nio.file.Paths.get(work, "keys.list"),
+      keyPaths.map(absolutize).mkString("\n"))
   }
 
   private def readKeysChain(work: String): (Seq[String], Seq[String]) = {
     val kp = java.nio.file.Paths.get(work, "keys.list")
     if (java.nio.file.Files.exists(kp)) {
       val tp = java.nio.file.Paths.get(work, "tombstones.list")
-      val tombs = if (java.nio.file.Files.exists(tp))
+      // see writeKeysChain: a keys.list without its tombstones.list is a
+      // torn manifest, not an empty tombstone set
+      if (!java.nio.file.Files.exists(tp))
+        throw new IllegalStateException(
+          s"keys manifest torn in $work: keys.list exists without " +
+            "tombstones.list (interrupted write?) — restore the state dir " +
+            "or run a full re-resolve")
+      val tombs =
         java.nio.file.Files.readString(tp).split("\n").toSeq.filter(_.nonEmpty)
-      else Seq.empty
       (java.nio.file.Files.readString(kp).split("\n").toSeq.filter(_.nonEmpty), tombs)
     } else (Seq(s"$work/keys.parquet"), Seq.empty)
   }

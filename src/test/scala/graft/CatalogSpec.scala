@@ -77,4 +77,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(big.inline.head.getLong(0).toString ==
       back.orderBy(col("o_orderkey").cast("long")).head().getString(0))
   }
+
+  test("CSV export writes partitioned (one part per partition, no single-task funnel)") {
+    Catalog.register(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-par").toString
+    // numbered REPARTITION hints are never AQE-coalesced, so the result
+    // frame has exactly 4 partitions — the export must write all 4 in
+    // parallel tasks, not coalesce(1) them through one
+    val r = QueryService.execute(spark,
+      "SELECT /*+ REPARTITION(4) */ o_orderkey FROM orders", Some(dir))
+    assert(r.truncated && r.csvPath.isDefined)
+    val parts = new java.io.File(r.csvPath.get).listFiles()
+      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    assert(parts == 4, s"expected 4 part files, saw $parts")
+    val back = spark.read.option("header", "true").csv(r.csvPath.get)
+    assert(back.count() == r.totalRows.get)
+  }
+
+  test("read-only SQL surface: commands and DML are rejected structurally, SELECT runs") {
+    Catalog.register(spark, sf)
+    val bad = Seq(
+      "DROP VIEW part",
+      "INSERT INTO part SELECT * FROM part",
+      "CREATE TABLE graft_ro_t AS SELECT 1 AS x",
+      "SET spark.sql.shuffle.partitions=1")
+    for (text <- bad) {
+      val ex = intercept[IllegalArgumentException] { QueryService.sql(spark, text) }
+      assert(ex.getMessage.contains("read-only"), s"not rejected: $text")
+      val ex2 = intercept[IllegalArgumentException] { QueryService.execute(spark, text) }
+      assert(ex2.getMessage.contains("read-only"), s"execute not guarded: $text")
+    }
+    // nothing executed: the view survives the rejected DROP
+    assert(spark.catalog.tableExists("part"))
+    // plain queries (incl. CTEs) still run
+    assert(QueryService.sql(spark,
+      "WITH t AS (SELECT 1 AS x) SELECT x FROM t").head().getInt(0) == 1)
+  }
 }

@@ -111,32 +111,55 @@ class IncrementalSpec extends AnyFunSuite {
   }
 
   test("batch pushing a block across the re-key threshold: incremental == full") {
-    val all = hotBlockPages(spark, 35) // 70 same-domain rows
-    val batch = all.filter(col("url").rlike("item-3[0-4]$")) // last 5 entities
-    val old = all.exceptAll(batch)
-    assert(old.count() == 60 && batch.count() == 10)
+    val all = hotBlockPages(spark, 40) // 80 same-domain rows
+    val batch1 = all.filter(col("url").rlike("item-3[0-4]$")) // entities 30-34
+    val batch2 = all.filter(col("url").rlike("item-3[5-9]$")) // entities 35-39
+    val old = all.exceptAll(batch1.unionAll(batch2))
+    assert(old.count() == 60 && batch1.count() == 10 && batch2.count() == 10)
 
-    val Seq(p1, p2, p3) = (1 to 3).map(i =>
+    val Seq(p1, p2, p3, p4) = (1 to 4).map(i =>
       Files.createTempDirectory(s"graft-hot$i").toString)
     EntityResolution.resolve(old,
       EntityResolution.Config(workDir = Some(p1))).integrated.count()
-    val inc = EntityResolution.resolveIncremental(batch, p1,
+    val inc1 = EntityResolution.resolveIncremental(batch1, p1,
       EntityResolution.Config(workDir = Some(p2)))
-    val full = EntityResolution.resolve(all,
-      EntityResolution.Config(workDir = Some(p3)))
+    inc1.integrated.count() // force: p2 is the next fold's prior state
 
-    val cols = Seq("RecordId", "InputSourceARN", "MatchID", "ConfidenceLevel")
-    val a = inc.integrated.select(cols.map(col): _*)
-    val b = full.integrated.select(cols.map(col): _*)
-    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
-      "incremental diverged from full re-resolve after a re-key threshold crossing")
     // the detection fired: key-changed old records had old×old pairs rescored
-    val batchUrls = batch.select(col("url").as("u"))
-    val oldOld = inc.candidatePairs
-      .join(batchUrls.withColumnRenamed("u", "main_url"), Seq("main_url"), "left_anti")
-      .join(batchUrls.withColumnRenamed("u", "sub_url"), Seq("sub_url"), "left_anti")
+    val batch1Urls = batch1.select(col("url").as("u"))
+    val oldOld = inc1.candidatePairs
+      .join(batch1Urls.withColumnRenamed("u", "main_url"), Seq("main_url"), "left_anti")
+      .join(batch1Urls.withColumnRenamed("u", "sub_url"), Seq("sub_url"), "left_anti")
     assert(oldOld.count() > 0,
       "expected old×old rescoring for the key-changed block members")
+    // ... and the crossing left a NON-EMPTY tombstone table in the chain
+    val tombs = spark.read.parquet(s"$p2/keys_tombstones.parquet")
+    assert(tombs.count() > 0, "re-key crossing wrote no tombstones")
+
+    // fold AGAIN over p2: assembleKeys now anti-joins a real (non-empty)
+    // tombstone set read back from the chain — the read-path equivalent of
+    // the in-memory keysAll frame BlockingSpec gates
+    val inc2 = EntityResolution.resolveIncremental(batch2, p2,
+      EntityResolution.Config(workDir = Some(p3)))
+    val full = EntityResolution.resolve(all,
+      EntityResolution.Config(workDir = Some(p4)))
+
+    val cols = Seq("RecordId", "InputSourceARN", "MatchID", "ConfidenceLevel")
+    val a = inc2.integrated.select(cols.map(col): _*)
+    val b = full.integrated.select(cols.map(col): _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "fold over a chain with live tombstones diverged from full re-resolve")
+
+    // torn-manifest guard: a keys.list without its tombstones.list (crash
+    // between the ordered writes) must fail loudly, never read as "no
+    // tombstones" — that would silently resurrect every tombstoned key row
+    Files.delete(java.nio.file.Paths.get(p3, "tombstones.list"))
+    val p5 = Files.createTempDirectory("graft-hot5").toString
+    val ex = intercept[IllegalStateException] {
+      EntityResolution.resolveIncremental(batch2.limit(0), p3,
+        EntityResolution.Config(workDir = Some(p5))).integrated.count()
+    }
+    assert(ex.getMessage.contains("torn"))
   }
 
   test("legacy prior state (no persisted count tables): fallback diff path == full") {

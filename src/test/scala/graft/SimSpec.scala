@@ -95,6 +95,46 @@ class SimSpec extends AnyFunSuite with PropChecks {
     }
   }
 
+  test("truncated packing on RANDOM token universes: ≡ independent truncation, collision bound holds") {
+    // The vocabulary proof above covers the generated corpora; this gates
+    // the GENERAL claim in the packTokenHashes scaladoc over random 64-bit
+    // universes: (1) packedJaccard at any `bits` equals the exact jaccard
+    // of the independently top-`bits`-truncated sets (codec + streaming
+    // merge are exact), and (2) c collision-merges in a pair's union
+    // perturb the jaccard by at most 2c/|union'| (|inter'−inter| ≤ c and
+    // inter ≤ u give |J'−J| = |inter'·u − inter·(u−c)|/(u·u') ≤ 2c/u').
+    // bits=16 makes collisions ACTUALLY occur (hundreds of tokens in a
+    // 2^16 universe); bits=32 is the production shape.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    def randSet(n: Int): Array[Long] = Array.fill(n)(rnd.nextLong()).distinct.sorted
+    def jac(a: Array[Long], b: Array[Long]): Double =
+      if (a.isEmpty && b.isEmpty) 1.0
+      else {
+        val ia = a.toSet
+        val inter = b.count(ia)
+        inter.toDouble / (a.length + b.length - inter)
+      }
+    var collisionsSeen = 0L
+    for (bits <- Seq(16, 32); _ <- 0 until 200) {
+      val shared = randSet(rnd.nextInt(150))
+      val a = (shared ++ randSet(rnd.nextInt(300))).distinct.sorted
+      val b = (shared ++ randSet(rnd.nextInt(300))).distinct.sorted
+      val pj = Sim.packedJaccard(Sim.packLongs(a, bits), Sim.packLongs(b, bits))
+      def trunc(xs: Array[Long]) = xs.map(_ >>> (64 - bits)).distinct.sorted
+      val (ta, tb) = (trunc(a), trunc(b))
+      assert(pj == jac(ta, tb),
+        s"bits=$bits: packedJaccard != jaccard of independently truncated sets")
+      val u = (a ++ b).distinct.length
+      val ut = (ta ++ tb).distinct.length
+      val c = u - ut
+      collisionsSeen += c
+      if (ut > 0)
+        assert(math.abs(pj - jac(a, b)) <= 2.0 * c / ut + 1e-12,
+          s"bits=$bits: perturbation ${math.abs(pj - jac(a, b))} exceeds 2*$c/$ut")
+    }
+    assert(collisionsSeen > 0, "16-bit trials never collided — bound untested")
+  }
+
   test("32-bit packing compresses the corpus token sets ~2x vs raw long arrays") {
     import org.apache.spark.unsafe.types.UTF8String
     var packed = 0L

@@ -155,7 +155,17 @@ object EntityResolution {
     * keys (domain/LSH/SN) that live in different map partitions, where
     * distinct's map-side combine never saw them anyway. Per-main_id pair
     * counts are bounded by the blocking caps (maxBlock·keys-per-record +
-    * snWindow), so the single-column partitioning cannot skew. */
+    * snWindow), so the single-column partitioning cannot skew.
+    *
+    * This one exchange is also MINIMAL — emitting the pairs pre-partitioned
+    * by main_id from the block-key join itself was investigated and is not
+    * possible: the join's own required child distribution is block_key (the
+    * equi-key), so its output partitioning is block_key by operator
+    * contract, and a pair's duplicate copies always originate under
+    * DIFFERENT block keys (that is what makes them duplicates), i.e. in
+    * different output partitions. Any cross-block dedup therefore needs
+    * exactly one all-to-all of the pair stream; this is it, carrying
+    * 16-byte rows and doubling as the funnel's first join distribution. */
   private[graft] def dedupPairs(raw: DataFrame): DataFrame =
     raw.repartition(col("main_id")).dropDuplicates("main_id", "sub_id")
 

@@ -414,6 +414,7 @@ object Bench {
         def eff: Double = effOf(r1.sec, r4.sec)
       }
       var runs32 = Map.empty[Long, ScaleResult]
+      var pair28: Option[(Long, ScaleResult, ScaleResult)] = None // (entities, r2, r8)
       // measure one (4N, N) pair at `ents`, folding into `prev` via
       // per-level minimum when re-measuring the same size (each retry
       // re-rolls the host's contention window; min wall is the
@@ -424,17 +425,27 @@ object Bench {
       // warmup under the host vCPU quota) — measured to price the point
       // out of the budget whenever a quiet-red window routes budget to the
       // bigger-corpus pair — while in-suite it costs its measured seconds
-      // plus one shared overhead.
+      // plus one shared overhead. `with28` likewise rides the secondary
+      // 2→8 rung in the SAME child (levels 8 and 2 LAST, droppable): at the
+      // 1/5 corpus the marginal cost is ~35 measured seconds, which is what
+      // finally makes the rung budget-proof — r4 and the r5a rehearsal both
+      // starved a standalone 2→8 suite out of the JSON.
       def measurePair(ents: Long, prev: Option[Pair],
-                      reserve: Double = 0.0, with32: Boolean = false): Pair = {
-        // ONE child JVM for all levels (fixed cost paid once); largest
-        // level first — the window-exposed side measures before the window
-        // can turn, the steal-immune 1-core side anchors the tail
-        val levels = if (with32) Seq(32, 4, 1) else Seq(4, 1)
+                      reserve: Double = 0.0, with32: Boolean = false,
+                      with28: Boolean = false): Pair = {
+        // ONE child JVM for all levels (fixed cost paid once), gate-critical
+        // order: the window-exposed 32 level first, then the north-rule
+        // (4, 1) pair, then the droppable secondary rung — the child skips
+        // tail levels when the wall budget runs short, so this order spends
+        // risk on the least informative levels
+        val levels = (if (with32) Seq(32, 4, 1) else Seq(4, 1)) ++
+          (if (with28) Seq(8, 2) else Nil)
         val rs = runSuite(levels, ents, reserve)
-        // harvest the 32-level BEFORE the pair-completeness checks: a
-        // wall-capped suite that lost its tail levels still delivered it
+        // harvest the 32-level and the 2→8 rung BEFORE the pair-completeness
+        // checks: a wall-capped suite that lost other levels still delivered
+        // them
         rs.get(32).foreach(r => runs32 += ents -> r)
+        for (r2 <- rs.get(2); r8 <- rs.get(8)) pair28 = Some((ents, r2, r8))
         val r4 = rs.getOrElse(4,
           throw new IllegalStateException("pair suite lost the 4-core level"))
         val r1 = rs.getOrElse(1,
@@ -464,7 +475,9 @@ object Bench {
       //      lost to a wall cap
       //   5. poisoned-window retries   — only when steal explains the red
       //   6. bigger-corpus 1v4 upgrade — poisoned path (no-op if done above)
-      //   7. 2→8 secondary pair        — biggest warm tier that fits (runs
+      //   7. 2→8 secondary pair        — UPGRADE only: at a small-tier
+      //      start the rung already rode the first suite (with28, ~35 s
+      //      marginal); this stage only buys a bigger warm tier (runs
       //      BEFORE the re-roll: r4's re-roll starved it out of the JSON)
       //   8. gated headline re-roll    — repairs a noisy-start window
       // A complete JSON line is emitted after EVERY stage, so a budget kill
@@ -475,12 +488,19 @@ object Bench {
       // fallback below — a window that turns mid-suite (capping the child
       // before its 1-core level) must not leave the round with no usable
       // pair at all
+      // the 2→8 rung rides the first suite only at the 1/5 corpus, where its
+      // marginal cost (~35 s measured) cannot starve anything; a mid-tier
+      // first pair leaves the rung to its standalone stage below (quiet
+      // windows historically fit it) — at mid size the extra ~130 s could
+      // price the full-corpus gate upgrade out of the budget
       var pairSmall =
         try measurePair(entsStart, None,
-          reserve = if (entsStart > entitiesSmall) 250.0 else 0.0, with32 = true)
+          reserve = if (entsStart > entitiesSmall) 250.0 else 0.0, with32 = true,
+          with28 = entsStart == entitiesSmall)
         catch { case e: Throwable if entsStart > entitiesSmall =>
           mark(s"big first pair failed (${e.getMessage}) — falling back to 1/5")
-          measurePair(entitiesSmall, None, with32 = runs32.isEmpty)
+          measurePair(entitiesSmall, None, with32 = runs32.isEmpty,
+            with28 = pair28.isEmpty)
         }
       var pairFull: Option[Pair] = None
       // every completed bigger-corpus pair, kept for primary-pair selection
@@ -488,7 +508,6 @@ object Bench {
       // carries the latest; earlier pairs are already on the wire from
       // their own emitStage lines)
       var pairsBig: List[Pair] = Nil
-      var pair28: Option[(Long, ScaleResult, ScaleResult)] = None // (entities, r2, r8)
       val shufflePartitions =
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64").toInt
 
@@ -867,7 +886,11 @@ object Bench {
           (if (cores >= 8) 1.5 else 1.1)
       def cost28(target: Long): Double =
         estSec(2, target) + estSec(8, target) + overheadFor(8)
+      // upgrade-only: the small-tier rung usually already rode the first
+      // suite (with28), so this stage spends budget only on a BIGGER warm
+      // tier than whatever is delivered
       val warm28Tiers = Seq(scaleEntities, entitiesMid, entitiesSmall)
+        .filter(t => pair28.forall(_._1 < t))
       warm28Tiers.find(t => elapsed + cost28(t) < budgetSec) match {
         case Some(target) => stage(s"2->8 pair (${tierName(target)})") {
           mark(s"2->8 pair at $target entities")
@@ -875,7 +898,9 @@ object Bench {
           pair28 = Some((target, rs(2), rs(8)))
           emitStage()
         }
-        case None => mark("2->8 pair skipped (budget)")
+        case None =>
+          mark(if (pair28.isDefined) "2->8 upgrade skipped (budget) — rung already delivered in-suite"
+               else "2->8 pair skipped (budget)")
       }
 
       // stage 7: headline re-roll — the headline queries are measured FIRST

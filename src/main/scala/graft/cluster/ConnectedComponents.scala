@@ -44,7 +44,7 @@ object ConnectedComponents {
     * layout-independent by operator contract (the r4 sorted-neighborhood
     * postmortem rule), and its group buffer spills, so a celebrity node
     * costs O(|N|) spillable rows, never O(|N|^2) memory. */
-  private def largeStar(edges: DataFrame): DataFrame = {
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -67,7 +67,7 @@ object ConnectedComponents {
     * output distinct (already present) absorbs them. Net: two exchanges per
     * half-iteration (window + output distinct) where the former shape paid
     * four (input distinct, groupBy, join, output distinct). */
-  private def smallStar(edges: DataFrame): DataFrame = {
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dir = edges.select(
       greatest(col("src"), col("dst")).as("hi"),

@@ -21,9 +21,10 @@ import graft.pipeline.EntityResolution
  *     measured gcSec is ~1 s of a 30-90 s wall (G1), and the error direction
  *     makes the reported N→4N efficiency CONSERVATIVE (the 1-core side can
  *     only get faster).
- * Levels run largest-first: the window-exposed side measures before the
- * window has time to turn, and the steal-immune 1-core side anchors the
- * pair's tail.
+ * Levels run in CALLER order — Bench sends the window-exposed largest level
+ * first, the steal-immune 1-core side to anchor the pair, and any secondary
+ * rung (8/2) last, so a wall cap or a turning window costs the droppable
+ * levels, never the north-rule pair.
  *
  * Prints one line per level: `[scale] cpus=<n> sec=<t> docs=<d> ...` —
  * graft.Bench parses every such line, so a wall-capped child still delivers
@@ -38,7 +39,9 @@ object ScaleRunner {
     def phase(m: String): Unit =
       System.err.println(f"[scale-phase] +$elapsed%.0fs $m")
     phase("main")
-    val levels = args(0).split(",").map(_.trim.toInt).toSeq.sortBy(-_)
+    // caller order preserved (Bench sends gate-critical levels first, so a
+    // wall cap drops the secondary 8/2 rung before the north-rule 4/1 pair)
+    val levels = args(0).split(",").map(_.trim.toInt).toSeq
     val corpus = args(1)
     val warmupCorpus = args(2)
     val wallBudget = if (args.length > 3) args(3).toDouble else Double.MaxValue

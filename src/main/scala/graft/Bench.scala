@@ -914,8 +914,13 @@ object Bench {
         case Some(target) => stage(s"2->8 pair (${tierName(target)})") {
           mark(s"2->8 pair at $target entities")
           val rs = runSuite(Seq(8, 2), target)
-          pair28 = Some((target, rs(2), rs(8)))
-          emitStage()
+          // harvest only a COMPLETE rung: a wall-capped child that lost its
+          // 2-level must not clobber an earlier complete (smaller) pair
+          (rs.get(2), rs.get(8)) match {
+            case (Some(r2), Some(r8)) =>
+              pair28 = Some((target, r2, r8)); emitStage()
+            case _ => mark(s"2->8 upgrade at $target lost a level (wall cap) — keeping prior rung")
+          }
         }
         case None =>
           mark(if (pair28.isDefined) "2->8 upgrade skipped (budget) — rung already delivered in-suite"

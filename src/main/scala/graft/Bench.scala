@@ -640,8 +640,14 @@ object Bench {
         val bq4 = bestQuietRun(4)
         val pd1 = bq1.map(msPerDoc).getOrElse(Double.NaN)
         val pd4 = bq4.map(msPerDoc).getOrElse(Double.NaN)
+        // when NO pair was quiet + inflation-sane the fallback still has to
+        // headline something — carry its own disqualifier on its face so the
+        // reader needn't cross-check the steal/inflation fields to see it
+        val gateCaveat = if (demotionReason(p).nonEmpty)
+          s""""gate_caveat":"${demotionReason(p)}",""" else ""
         f"""{"docs":$docs,"entities":${p.ents},""" +
           s""""gate_pair":"${tierName(p.ents)}","gate_pair_entities":${p.ents},""" +
+          gateCaveat +
           f""""pair_small":{"entities":${pairSmall.ents},"docs":${pairSmall.r4.docs},""" +
           f""""sec_local1":${pairSmall.r1.sec}%.2f,"sec_local4":${pairSmall.r4.sec}%.2f,""" +
           s""""ms_per_doc_local1":${j(msPerDoc(pairSmall.r1), "%.4f")},""" +

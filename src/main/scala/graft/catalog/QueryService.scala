@@ -73,17 +73,32 @@ object QueryService {
     if (probe.length <= InlineRowCap) {
       ShapedResult(df.columns.toSeq, probe.toSeq, truncated = false, None, None)
     } else {
-      val csv = exportDir.map { dir =>
-        val path = s"$dir/export-${math.abs(text.hashCode)}"
-        // Partitioned write: every input partition exports in parallel (each
-        // part file carries its own header). A coalesce(1) here would funnel
-        // a 10^9-row export through one task; the directory IS the download
-        // artifact, mirroring a multipart S3 export.
-        df.write.mode("overwrite").option("header", "true").csv(path)
-        path
+      // ONE execution for export + row count: the observed metric rides the
+      // CSV write job instead of a separate df.count() that would re-run an
+      // arbitrary (possibly expensive) plan a third time. Without an export
+      // dir nothing else executes the plan, so the count job remains.
+      val csvAndCount: (Option[String], Long) = exportDir match {
+        case Some(dir) =>
+          val path = s"$dir/export-${math.abs(text.hashCode)}"
+          val obs = new org.apache.spark.sql.Observation()
+          // Partitioned write: every input partition exports in parallel
+          // (each part file carries its own header). A coalesce(1) here
+          // would funnel a 10^9-row export through one task; the directory
+          // IS the download artifact, mirroring a multipart S3 export.
+          df.observe(obs, count(lit(1)).as("n_rows"))
+            .write.mode("overwrite").option("header", "true").csv(path)
+          // the observation arrives via the (async) execution-listener bus;
+          // bounded wait, with the old count() as a never-wrong fallback
+          val n = try {
+            val row = scala.concurrent.Await.result(obs.future,
+              scala.concurrent.duration.Duration(10, "s"))
+            row.getLong(row.fieldIndex("n_rows"))
+          } catch { case _: java.util.concurrent.TimeoutException => df.count() }
+          (Some(path), n)
+        case None => (None, df.count())
       }
       ShapedResult(df.columns.toSeq, probe.take(PreviewRows).toSeq,
-        truncated = true, Some(df.count()), csv)
+        truncated = true, Some(csvAndCount._2), csvAndCount._1)
     }
   }
 

@@ -66,7 +66,17 @@ object ConnectedComponents {
     * distinct is dropped entirely — duplicates cannot change a min, and the
     * output distinct (already present) absorbs them. Net: two exchanges per
     * half-iteration (window + output distinct) where the former shape paid
-    * four (input distinct, groupBy, join, output distinct). */
+    * four (input distinct, groupBy, join, output distinct).
+    *
+    * STRUCTURALLY one window subtree: each dm row lands in exactly one of
+    * the former lows/his branches, so the union of two filtered projections
+    * is restated as ONE conditional projection — `src = lo≠m ? lo : hi` —
+    * over the windowed frame (row-for-row the same multiset, absorbed by the
+    * same output distinct). The former two-branch union planned the window
+    * subtree into BOTH union arms and relied on AQE's reuse-stage dedup to
+    * keep it one shuffle at runtime; the single-branch form holds the
+    * exchange count by plan shape alone, AQE on or off (PlanShapeSpec pins
+    * it with AQE disabled). */
   private[graft] def smallStar(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dir = edges.select(
@@ -75,11 +85,10 @@ object ConnectedComponents {
       .filter(col("hi") =!= col("lo"))
     val dm = dir.select(col("hi"), col("lo"),
       min("lo").over(Window.partitionBy("hi")).as("m"))
-    val lows = dm.filter(col("lo") =!= col("m"))
-      .select(col("lo").as("src"), col("m").as("dst"))
-    val his = dm.filter(col("lo") === col("m"))
-      .select(col("hi").as("src"), col("m").as("dst"))
-    lows.union(his).distinct()
+    dm.select(
+      when(col("lo") =!= col("m"), col("lo")).otherwise(col("hi")).as("src"),
+      col("m").as("dst"))
+      .distinct()
   }
 
   private def signature(edges: DataFrame): (Long, Long) = {

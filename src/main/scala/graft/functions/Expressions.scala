@@ -307,6 +307,67 @@ case class Bin128Expr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact cosine similarity of two float/double vectors — replaces the
+  * interpreted `zip_with`+`aggregate` higher-order-function composition in
+  * the ANN/dedup hot paths with one fused whole-stage-codegen pass
+  * ([[Sim.cosineSim]] — bit-identical accumulation order and null/length
+  * semantics). Element types may differ per side (items are float, centroid
+  * literals double); the accessor flags are baked in from the child types. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def elemDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"cosine_sim expects array<float>/array<double> inputs, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // length mismatch / null element
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Sim.cosineSim(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], elemDouble(left),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], elemDouble(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ad, bd) = (elemDouble(left), elemDouble(right))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cos")
+      s"""java.lang.Double $r = graft.functions.Sim.cosineSim($a, $ad, $b, $bd);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** All `tables` sign-LSH bucket codes of a vector in one compiled pass —
+  * replaces `array(signBucket(v, bits, t) …)`, whose higher-order-function
+  * expansion interpreted tables·bits array walks per row, with a single
+  * [[Sim.signCodes]] call (cached ±1 hyperplane weights, identical
+  * xxhash64-parity weights and plane-sum order — codes are bit-identical). */
+case class SignCodesExpr(child: Expression, bits: Int, tables: Int)
+    extends UnaryExpression {
+  private def elemDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"sign_codes expects an array<float>/array<double> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_codes"
+  override protected def nullSafeEval(v: Any): Any =
+    Sim.signCodes(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      elemDouble, bits, tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ed = elemDouble
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sim.signCodes($c, $ed, $bits, $tables)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points (`import graft.functions.GraftFunctions._`). */
 object GraftFunctions {
   private def col(e: Expression): Column = Shim.column(e)
@@ -333,6 +394,9 @@ object GraftFunctions {
   def avi_encode(seed: Column): Column = col(AviEncodeExpr(expr(seed)))
   def bin128(hi: Column, lo: Column): Column = col(Bin128Expr(expr(hi), expr(lo)))
   def video_decode(payload: Column): Column = col(VideoDecodeExpr(expr(payload)))
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSimExpr(expr(a), expr(b)))
+  def sign_codes(v: Column, bits: Int, tables: Int): Column =
+    col(SignCodesExpr(expr(v), bits, tables))
 
   /** Register all as SQL temp functions so `spark.sql` text can use them. */
   def register(spark: SparkSession): Unit = {

@@ -530,6 +530,109 @@ object Sim {
     out
   }
 
+  // ----------------------------------------------------- vector kernels
+
+  /**
+   * Exact cosine similarity of two float/double vectors — the compiled form
+   * of the former `zip_with`+`aggregate` higher-order-function composition
+   * (HOFs are CodegenFallback: three interpreted array walks with per-element
+   * lambda dispatch and boxing). ONE fused pass, bit-identical math: the
+   * same sequential (index-ascending) double accumulation for dot/|a|²/|b|²
+   * and the same `dot / (sqrt(na)·sqrt(nb))` finish, so scores — and every
+   * oracle-checked ranking built on them — are unchanged.
+   *
+   * Null/length semantics mirror the HOF composition exactly: a length
+   * mismatch or a null element made the zipped product (hence the aggregate,
+   * hence the score) NULL — returned here as a boxed null. `aDouble`/
+   * `bDouble` select the element accessor (the expression layer bakes them
+   * in from the child types; the HOF version cast every element to double).
+   */
+  def cosineSim(a: org.apache.spark.sql.catalyst.util.ArrayData, aDouble: Boolean,
+                b: org.apache.spark.sql.catalyst.util.ArrayData, bDouble: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** ±1 hyperplane weights for planes 0..nPlanes-1 over dims 0..n-1, cached
+    * per (nPlanes, n): the weight is a pure function of (plane, dim) —
+    * `xxhash64(plane, dim)` parity with Spark's seed-42 XXH64 over two int
+    * inputs, exactly what the former per-element Catalyst
+    * `pmod(xxhash64(lit(plane), dim), 2)` computed — so hashing once per
+    * (plane, dim) instead of once per (row, plane, dim) changes nothing. */
+  private val planeWeightCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Array[Double]]]()
+  private def planeWeights(nPlanes: Int, n: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val key = java.lang.Long.valueOf((nPlanes.toLong << 32) | n.toLong)
+    var w = planeWeightCache.get(key)
+    if (w == null) {
+      w = Array.tabulate(nPlanes) { p =>
+        val h0 = XXH64.hashInt(p, 42L)
+        Array.tabulate(n)(i =>
+          if ((XXH64.hashInt(i, h0) & 1L) == 0L) 1.0 else -1.0)
+      }
+      planeWeightCache.putIfAbsent(key, w)
+    }
+    w
+  }
+
+  /**
+   * All `tables` sign-LSH bucket codes of a vector in one compiled pass —
+   * the fused form of `array(signBucket(v, bits, 0) … signBucket(v, bits,
+   * tables-1))`, whose HOF expansion interpreted tables·bits zip_with+
+   * aggregate walks per row. Per plane p of table t the signed projection is
+   * the same index-ascending sequential sum Σ v[i]·w(t·bits+p, i) (weights
+   * per [[planeWeights]] — identical hash parity), and the bit is set under
+   * the same `signed >= 0` Catalyst comparison semantics (NaN and -0.0
+   * compare GE 0 under nanSafeCompareDoubles; Java `>=` alone would drop the
+   * NaN case). A null element made every plane's sum NULL, whose
+   * `when(null).otherwise(0)` left all bits clear — mirrored by the zeroed
+   * codes array.
+   */
+  def signCodes(v: org.apache.spark.sql.catalyst.util.ArrayData, isDouble: Boolean,
+                bits: Int, tables: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](tables)
+    var anyNull = false
+    var i = 0
+    while (i < n && !anyNull) { anyNull = v.isNullAt(i); i += 1 }
+    // n == 0 ALSO left all bits clear in the HOF form (its index sequence
+    // degenerates and null-propagates through every plane sum)
+    if (n > 0 && !anyNull) {
+      val w = planeWeights(bits * tables, n)
+      var tb = 0
+      while (tb < tables) {
+        var code = 0L
+        var p = 0
+        while (p < bits) {
+          val wp = w(tb * bits + p)
+          var acc = 0.0
+          var j = 0
+          while (j < n) {
+            val x = if (isDouble) v.getDouble(j) else v.getFloat(j).toDouble
+            acc += x * wp(j)
+            j += 1
+          }
+          if (acc >= 0 || java.lang.Double.isNaN(acc)) code |= 1L << p
+          p += 1
+        }
+        out(tb) = code
+        tb += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /**
    * Locale-free lowercase with a zero-garbage ASCII fast path. Spark 4's
    * `lower()` routes through ICU collation support (observed dominating

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.{cosine_sim, sign_codes}
 import graft.functions.Sim
 
 /**
@@ -22,14 +23,13 @@ import graft.functions.Sim
  */
 object Ann {
 
-  /** cos(a,b) as a composed higher-order-function expression (codegen'd). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-    val nb = aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** cos(a,b) as ONE fused whole-stage-codegen pass ([[Sim.cosineSim]]).
+    * Formerly a zip_with+aggregate higher-order-function composition — HOFs
+    * are CodegenFallback, i.e. three interpreted array walks with boxed
+    * per-element lambda dispatch per pair; the compiled kernel keeps the
+    * identical sequential accumulation order and null/length semantics, so
+    * every score (and oracle-checked ranking) is bit-unchanged. */
+  def cosine(a: Column, b: Column): Column = cosine_sim(a, b)
 
   /**
    * Deterministic sign-LSH bucket id: `bits` pseudo-random ±1 hyperplanes
@@ -88,12 +88,14 @@ object Ann {
               tables: Int = 12, maxFlip: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
               queryIdCol: String = "query_id"): DataFrame = {
-    // per-table codes are computed ONCE per row (8·dim aggregate each);
-    // bucket keys then fan out from the code array with cheap hashes —
-    // recomputing signBucket per probe mask was a measured codegen bomb
-    // (tables·C(bits,≤maxFlip) eight-plane aggregates per row)
+    // per-table codes are computed ONCE per row and in ONE compiled pass
+    // (sign_codes — the fused, bit-identical form of the per-table
+    // signBucket array, whose HOF expansion interpreted tables·bits array
+    // walks per row); bucket keys then fan out from the code array with
+    // cheap hashes — recomputing signBucket per probe mask was a measured
+    // codegen bomb (tables·C(bits,≤maxFlip) eight-plane aggregates per row)
     val bucketedItems = items.select(col(idCol).as("item_id"), col(vecCol).as("iv"),
-        array((0 until tables).map(t => signBucket(col("iv"), bits, t)): _*).as("codes"))
+        sign_codes(col("iv"), bits, tables).as("codes"))
       .select(col("item_id"), col("iv"), posexplode(col("codes")).as(Seq("tb", "code")))
       .select(col("item_id"), col("iv"), xxhash64(col("tb"), col("code")).as("bucket"))
     // multi-probe: the query's code plus every code within `maxFlip` flips,
@@ -102,7 +104,7 @@ object Ann {
       .filter(m => java.lang.Long.bitCount(m) <= maxFlip)
     val maskArr = array(masks.map(lit): _*)
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("qv"),
-        array((0 until tables).map(t => signBucket(col(vecCol), bits, t)): _*).as("codes"))
+        sign_codes(col(vecCol), bits, tables).as("codes"))
       .select(col("query_id"), col("qv"), posexplode(col("codes")).as(Seq("tb", "code")))
       .select(col("query_id"), col("qv"), explode(transform(maskArr,
         m => xxhash64(col("tb"), col("code").bitwiseXOR(m)))).as("bucket")))

@@ -56,12 +56,23 @@ object Dedup {
                  shingle: Int = 2, maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     val bands = numHashes / bandSize
     val norm = ascii_lower(col(textCol))
-    val sig = df.select(col(idCol).as("id"),
-      minhash_sig(norm, shingle, numHashes).as("sig"))
+    // Per-doc features (minhash signature + packed token set) in ONE scan
+    // pass over the raw text, materialized eagerly: the lazy shape
+    // re-planned the text scan per consumer branch — minhash_sig ran over
+    // the corpus FOUR times (bucket histogram + both self-join sides) and
+    // pack_tokens twice, six full text passes for one logical scan.
+    // localCheckpoint, not persist: recomputed per invocation (no
+    // cross-invocation plan-cache reuse), spills via MEMORY_AND_DISK, and
+    // only the compact (~0.5 KB/doc) feature rows are held — raw text never
+    // leaves the scan stage, as before.
+    val feats = df.select(col(idCol).as("id"),
+        minhash_sig(norm, shingle, numHashes).as("sig"),
+        pack_tokens(norm, 32).as("tok"))
+      .localCheckpoint()
     val bandKeys = (0 until bands).map { b =>
       xxhash64(lit(b + 1), xxhash64(slice(col("sig"), b * bandSize + 1, bandSize)))
     }
-    val keyed = sig.select(col("id"), explode(array(bandKeys: _*)).as("bucket"))
+    val keyed = feats.select(col("id"), explode(array(bandKeys: _*)).as("bucket"))
     val sizes = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
     val hot = sizes.filter(col("n") > maxBucket)
     val stats = sizes.agg(
@@ -83,8 +94,9 @@ object Dedup {
     // than raw long arrays — see Sim.packTokenHashes for the truncation
     // exactness math); jaccard values equal the 64-bit computation on any
     // corpus whose distinct-token universe is collision-free at 32 bits
-    // (spec-gated for the generator vocabulary)
-    val toks = df.select(col(idCol).as("id"), pack_tokens(norm, 32).as("tok"))
+    // (spec-gated for the generator vocabulary). Read from the one-pass
+    // feature table — not a fresh text scan per join side.
+    val toks = feats.select(col("id"), col("tok"))
     val pairs = cand
       .join(toks.select(col("id").as("id_a"), col("tok").as("tok_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("tok").as("tok_b")), "id_b")
@@ -113,7 +125,11 @@ object Dedup {
     require(maxHamming <= 7,
       s"8x8-bit banding guarantees recall only for hamming <= 7, got $maxHamming")
     val fp = simhash64(ascii_lower(col(textCol)))
-    val withFp = df.select(col(idCol).as("id"), fp.as("fp"))
+    // one text pass: the (id, fp) table is 16 bytes/doc — materialized
+    // eagerly so the band histogram and both self-join sides read it instead
+    // of re-running the simhash scan per plan branch (same single-scan
+    // discipline as [[minhashLshWithStats]])
+    val withFp = df.select(col(idCol).as("id"), fp.as("fp")).localCheckpoint()
     val banded = withFp.select(col("id"), col("fp"),
       explode(array((0 until 8).map(b =>
         xxhash64(lit(b + 1),
@@ -171,9 +187,15 @@ object Dedup {
       array_distinct(transform(sequence(lit(1), cnt),
         i => array_join(slice(toks, i, lit(n)), " ")))
     }
+    // one text pass: gram sets + length class materialized eagerly (raw
+    // text dropped before the checkpoint), so the bucket histogram and both
+    // self-join sides read the compact gram table instead of re-deriving
+    // the split/transform chain per plan branch
     val prep = df.select(col(idCol).as("id"), lower(col(textCol)).as("txt"))
       .withColumn("grams", grams(col("txt")))
       .withColumn("lenb", (size(split(col("txt"), " ")) / 10).cast("int"))
+      .select("id", "grams", "lenb")
+      .localCheckpoint()
     val buckets = prep.select(col("id"), col("grams"),
       explode(array(col("lenb"), col("lenb") + 1)).as("bucket"))
     val sizes = buckets.groupBy("bucket").agg(count(lit(1)).as("n"))
@@ -235,7 +257,12 @@ object Dedup {
       array_distinct(transform(sequence(lit(1), nWin),
         i => md5(array_join(slice(toks, i, lit(w)), " ").cast("binary")))))
       .otherwise(array().cast("array<string>"))
+    // one text pass: the exploded (id, 16-byte fp) table — the canonical
+    // linear cost of window-fingerprint dedup — is materialized eagerly so
+    // the histogram and both self-join sides read it instead of re-running
+    // the md5-per-window scan per plan branch (spills via MEMORY_AND_DISK)
     val fps = df.select(col(idCol).as("id"), explode(fpsArr).as("fp"))
+      .localCheckpoint()
     val sizes = fps.groupBy("fp").agg(count(lit(1)).as("n"))
     val hot = sizes.filter(col("n") > maxDocsPerWindow)
     val stats = sizes.agg(
@@ -297,11 +324,15 @@ object Dedup {
       s"(exact=${t} + probe=${t * nMasks})")
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val masks = (0L until (1L << bits)).filter(m => java.lang.Long.bitCount(m) <= maxFlip)
-    // Each table's code is computed ONCE per row (8·dim work), then cheap
-    // hash keys fan out from the precomputed code array — never recompute
-    // the hyperplane aggregates per probe mask.
-    val coded = base.select(col("id"),
-      array((0 until t).map(tb => Ann.signBucket(col("v"), bits, tb)): _*).as("codes"))
+    // Each table's code is computed ONCE per row and in ONE compiled pass
+    // (sign_codes — bit-identical to the per-table signBucket array, whose
+    // HOF expansion interpreted tables·bits array walks per row), then
+    // cheap hash keys fan out from the precomputed code array — never
+    // recompute the hyperplane aggregates per probe mask. The slim
+    // (id, codes) table is materialized eagerly so both probe sides read it
+    // instead of re-scanning the vectors per plan branch.
+    val coded = base.select(col("id"), sign_codes(col("v"), bits, t).as("codes"))
+      .localCheckpoint()
     // side A: exact code per table; side B: all codes within maxFlip flips.
     // Slim key stream: (id, bucket) only — vectors stay in the scan stage.
     val a = coded

@@ -211,6 +211,15 @@ object EntityResolution {
       greatest(length(col("title_a")), length(col("title_b")), lit(1)).cast("double")
     val pre = pairs
       .join(lightA, "main_id").join(lightB, "sub_id")
+      // Stage 0 (integer-only) prefilter: even PERFECT titles (jw = lev = 1)
+      // cannot reach tau when the token-set size ratio alone caps the
+      // ensemble below it — wJW·1 + wLev·1 + wTJ·bound < tau. Provably
+      // implied by the stage-1 filter below (jw, lev ≤ 1), so the survivor
+      // set — and every score — is unchanged; it just skips the O(|title|²)
+      // Jaro-Winkler + Levenshtein work for pairs whose sizes already
+      // disqualify them (the filter reads two ints, no string touch).
+      .filter(lit(cfg.wJaroWinkler) + lit(cfg.wLevenshtein) +
+        lit(cfg.wTokenJaccard) * tjBound >= cfg.tau)
       .withColumn("jw", jaro_winkler(col("title_a"), col("title_b")))
       .withColumn("lev", levSim)
       .filter(lit(cfg.wJaroWinkler) * col("jw") + lit(cfg.wLevenshtein) * col("lev") +
@@ -448,11 +457,33 @@ object EntityResolution {
     val priorHasCounts =
       new java.io.File(s"$priorWorkDir/raw_counts.parquet/_SUCCESS").exists() &&
         new java.io.File(s"$priorWorkDir/sizes2.parquet/_SUCCESS").exists()
+    // Durable keys-fold stage writes OVERLAP downstream compute (guide
+    // §2.6 — independent jobs back-fill idle cores): each stage is
+    // materialized once with an eager localCheckpoint (the same single
+    // computation + lineage cut the old write-then-read-back barrier
+    // bought), downstream consumers proceed immediately from the checkpoint
+    // blocks, and the parquet encode+commit runs on a driver side thread.
+    // All pending writes are JOINED before the chain manifests are written,
+    // so the crash contract is unchanged: manifests-last means a failed or
+    // interrupted fold leaves prior state intact and the next fold fails
+    // loudly on the broken chain, never reads a torn table.
+    val pendingWrites = scala.collection.mutable.ListBuffer.empty[java.util.concurrent.Future[_]]
+    val writePool = java.util.concurrent.Executors.newFixedThreadPool(2, r => {
+      val t = new Thread(r, "graft-stage-write"); t.setDaemon(true); t
+    })
+    def awaitStageWrites(): Unit = {
+      pendingWrites.foreach(_.get()) // propagates any write failure
+      pendingWrites.clear()
+    }
     val (keys, blockStats, keyChangedIds) = if (priorHasCounts) {
       val stager = (name: String, df: DataFrame) => {
-        df.write.mode("overwrite").parquet(s"$work/$name.parquet")
-        ph(s"  keys-fold stage: $name")
-        spark.read.parquet(s"$work/$name.parquet")
+        val ckpt = df.localCheckpoint(true)
+        pendingWrites += writePool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            ckpt.write.mode("overwrite").parquet(s"$work/$name.parquet")
+        })
+        ph(s"  keys-fold stage: $name (write overlapped)")
+        ckpt
       }
       // prior keys = the manifest chain's assembly (a base resolve dir is a
       // one-file chain); validate like the records manifest — a vanished
@@ -475,6 +506,10 @@ object EntityResolution {
       // O(batch) — the rewrite runs once per compactLen folds)
       val keyPaths = priorKeyPaths :+ s"$work/keys_delta.parquet"
       val tombPaths = priorTombPaths :+ s"$work/keys_tombstones.parquet"
+      // join the overlapped stage writes BEFORE any chain manifest lands:
+      // a manifest must never reference a file still being written
+      awaitStageWrites()
+      ph("stage writes joined")
       val keysOut = if (keyPaths.length >= keysChainCompactLen) {
         keysAll.write.mode("overwrite").parquet(s"$work/keys.parquet")
         writeKeysChain(work, Seq(s"$work/keys.parquet"), Seq.empty)
@@ -510,6 +545,7 @@ object EntityResolution {
       ph("key-change diff materialized")
       (keysFull, stats, changed)
     }
+    writePool.shutdown()
     val seedIds = newIds.union(keyChangedIds).distinct()
     val keysEff = keys.join(seedIds, Seq("id"), "left_semi")
     fc("keyChangedIds", keyChangedIds)
@@ -547,13 +583,15 @@ object EntityResolution {
       .join(keys.select(col("id").as("sub_id"), col("block_key")), Seq("sub_id", "block_key"),
         "left_semi")
       .select("main_id", "sub_id")
-    // MATERIALIZE the stale set: it feeds both edge filtering and stale-label
-    // clustering, and computing it means re-running sorted-neighborhood over
-    // the touched buckets (snPrior) — lazy, that recompute would run once
-    // per consuming action; the set itself is almost always empty/tiny
+    // staleSnPairs stays LAZY since round 6: its whole lineage above the
+    // materialized snDropped (the sharedKey joins + anti-join) starts from a
+    // tiny checkpointed frame whose real size AQE sees, so each consuming
+    // action replans it as broadcast joins over an (almost always empty)
+    // set — re-deriving it per consumer is cheaper than the driver
+    // write+read barrier its own eager checkpoint cost (the barrier, not
+    // work, dominates the fold's wall at batch scale)
     val staleSnPairs = snDropped.join(sharedKey, Seq("main_id", "sub_id"), "left_anti")
-      .localCheckpoint(true)
-    ph("sn-drift stale set materialized")
+    ph("sn-drift stale set derived (lazy)")
 
     fc("touchedBuckets", touchedBuckets)
     fc("snRecords", snRecords)
@@ -599,15 +637,23 @@ object EntityResolution {
     def labelsOf(nodes: DataFrame): DataFrame = nodes
       .join(oldComponents, Seq("node"), "left")
       .select(coalesce(col("component"), col("node")).as("component")).distinct()
+    // Both label frames are TINY (one row per touched component) but feed
+    // 2-3 consumers each (cleanLabels, staleNodes, untouched), and every
+    // lazy consumer re-ran the labelsOf join+distinct over the corpus-wide
+    // components table — 5-6 shuffles of the same stream per fold. Eager
+    // per-fold scratch (same discipline as snDropped): one materialization
+    // each, every consumer broadcasts the result.
     // a dropped edge's two endpoints share a prior component, so one side's
     // label covers both
     val staleLabels = labelsOf(
       keyChangedIds.withColumnRenamed("id", "node")
         .union(droppedStaleEdges.select(col("main_id").as("node"))).distinct())
+      .localCheckpoint(true)
     val touchedLabels = labelsOf(
       newEdges.select(col("main_id").as("node"))
         .union(newEdges.select(col("sub_id").as("node"))).distinct())
       .union(staleLabels).distinct()
+      .localCheckpoint(true)
     val cleanLabels = touchedLabels.exceptAll(staleLabels)
     val cleanStars = oldComponents.join(broadcast(cleanLabels), Seq("component"), "left_semi")
     val staleNodes = oldComponents.join(broadcast(staleLabels), Seq("component"), "left_semi")

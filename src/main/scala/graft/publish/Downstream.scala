@@ -66,9 +66,13 @@ object Downstream {
    */
   def segmentTopN(interactions: DataFrame, itemIds: Seq[String],
                   numResults: Int = 100): DataFrame = {
-    // binary user-item matrix (repeat purchases don't inflate similarity)
+    // binary user-item matrix (repeat purchases don't inflate similarity).
+    // Materialized once (eager, per-invocation): four consumers (item
+    // counts, target buyers, co-occurrence, affinity) otherwise each re-run
+    // the upstream interactions scan + distinct shuffle per plan branch.
     val inter = interactions.select(col("USER_ID").as("u"), col("ITEM_ID").as("i"))
       .distinct()
+      .localCheckpoint(true)
     val cnt = inter.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
     // buyers of each target item
     val buyers = inter.filter(col("i").isin(itemIds: _*))

@@ -66,33 +66,39 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("CC one-pass stars: one exchange per large-star, two per small-star") {
     noBroadcast {
-      // small-star references its window frame from BOTH union branches, so
-      // the plan TREE carries the identical exchange subtree twice; AQE
-      // reuses the materialized shuffle stage at runtime (canonical
-      // equality), so the scale-relevant count is canonically-DISTINCT
-      // exchanges — what actually shuffles bytes
-      def distinctShuffles(df: DataFrame): Int = {
-        val plan = df.queryExecution.executedPlan match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
-          case p => p
-        }
-        plan.collect { case s: ShuffleExchangeExec => s.canonicalized }.distinct.size
-      }
+      // STRUCTURAL pin — raw exchange nodes in the plan TREE, not
+      // canonically-distinct ones: small-star's former two-branch union
+      // planned its window subtree twice and relied on AQE's reuse-stage
+      // dedup to keep it one shuffle at runtime; the single-branch
+      // conditional projection holds the count by plan shape alone, so the
+      // pin no longer depends on AQE staying on
       val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
       // large-star = the window min's ClusteredDistribution(src) only — the
       // former groupBy.min + self-join shape planned two full-stream
       // exchanges here
-      assert(distinctShuffles(cluster.ConnectedComponents.largeStar(edges)) == 1,
+      assert(shuffles(cluster.ConnectedComponents.largeStar(edges)) == 1,
         "large-star must plan exactly the window exchange")
       // small-star = window(hi) + output distinct — the former shape paid
       // four (input distinct, groupBy, join, output distinct)
-      assert(distinctShuffles(cluster.ConnectedComponents.smallStar(edges)) == 2,
+      assert(shuffles(cluster.ConnectedComponents.smallStar(edges)) == 2,
         "small-star must plan window + distinct only")
       // one full CC half-iteration pair composes to exactly three
       val iter = cluster.ConnectedComponents.smallStar(
         cluster.ConnectedComponents.largeStar(edges))
-      assert(distinctShuffles(iter) == 3,
+      assert(shuffles(iter) == 3,
         s"half-iteration pair must shuffle 3 distinct streams:\n${iter.queryExecution}")
+      // and the same counts with AQE OFF — the shape is the contract
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        // rebuilt inside the block: a Dataset's queryExecution is cached, so
+        // the frames above would reuse their AQE-on plans
+        assert(shuffles(cluster.ConnectedComponents.smallStar(edges)) == 2,
+          "small-star exchange count must hold without AQE reuse-stage dedup")
+        assert(shuffles(cluster.ConnectedComponents.smallStar(
+          cluster.ConnectedComponents.largeStar(edges))) == 3,
+          "half-iteration exchange count must hold without AQE")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     }
   }
 

@@ -240,15 +240,22 @@ object Blocking {
     val oldCrossedRows = priorKeys
       .join(broadcast(crossed), Seq("block_key"), "left_semi")
     val title = records.select(col("id"), col("title_norm"))
+    // oldReKeyed and batchKeyed each feed BOTH the sizes2 stage and the
+    // keys_delta stage — lazy, each stage's job recomputed them (including
+    // a records-table scan and a prior-keys chain scan per recompute).
+    // Eager per-fold scratch, same discipline as `crossed`: crossed-block-
+    // and batch-sized frames, one materialization each.
     val oldReKeyed = oldCrossedRows.join(title, "id")
       .withColumn("block_key", reKey(cfg))
       .select("id", "source", "block_key")
+      .localCheckpoint(true)
     val batchKeyed = rawBatch
       .join(broadcast(oversizedAll.select(col("block_key"),
         lit(true).as("over"))), Seq("block_key"), "left")
       .withColumn("block_key",
         when(col("over").isNull, col("block_key")).otherwise(reKey(cfg)))
       .select("id", "source", "block_key")
+      .localCheckpoint(true)
     def counted(df: DataFrame) = df.groupBy("block_key").agg(count(lit(1)).as("n"))
     val sizes2All = stage("sizes2", priorSizes2
       .join(broadcast(crossed), Seq("block_key"), "left_anti") // key vanished: all rows re-keyed
@@ -321,15 +328,26 @@ object Blocking {
 
   /** [[candidatePairsInvolving]] without the dedup shuffle — same rationale
     * as [[candidatePairsRaw]] (the incremental pipeline distincts once after
-    * unioning with its sorted-neighborhood seed pairs). */
+    * unioning with its sorted-neighborhood seed pairs).
+    *
+    * `broadcastNew = true` hints the (batch-bounded) keysNew side broadcast
+    * in both branches, so the corpus-wide keysAll side STREAMS instead of
+    * being hash-shuffled by block_key per branch — the caller gates it on
+    * batch size (stage-profiled: un-hinted, each branch shuffled the full
+    * keys table to join a set thousands of times smaller). */
   private[graft] def candidatePairsInvolvingRaw(keysNew: DataFrame,
-                                                keysAll: DataFrame): DataFrame = {
+                                                keysAll: DataFrame,
+                                                broadcastNew: Boolean = false): DataFrame = {
     def side(keys: DataFrame, src: String, as: String) =
       keys.filter(col("source") === src).select(col("block_key"), col("id").as(as))
-    side(keysNew, "main", "main_id").join(side(keysAll, "sub", "sub_id"), "block_key")
+    def newSide(src: String, as: String) = {
+      val s = side(keysNew, src, as)
+      if (broadcastNew) broadcast(s) else s
+    }
+    newSide("main", "main_id").join(side(keysAll, "sub", "sub_id"), "block_key")
       .select("main_id", "sub_id")
       .union(side(keysAll, "main", "main_id")
-        .join(side(keysNew, "sub", "sub_id"), "block_key")
+        .join(newSide("sub", "sub_id"), "block_key")
         .select("main_id", "sub_id"))
   }
 

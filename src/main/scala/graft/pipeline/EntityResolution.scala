@@ -405,11 +405,26 @@ object EntityResolution {
       .write.mode("overwrite").parquet(newRecPath)
     val newRecords = spark.read.parquet(newRecPath)
     ph("batch normalized")
+    // Batch-vs-corpus asymmetry is the fold's whole point: every frame
+    // derived from the batch (new ids, seed ids, touched buckets, batch
+    // keys, batch-involving pairs) is orders of magnitude smaller than the
+    // corpus-wide tables it joins against. When the batch is broadcast-
+    // sized (the overwhelmingly common fold regime; parquet row-count read
+    // is metadata-only), every such join HINTS the batch side broadcast so
+    // the corpus-wide side STREAMS instead of shuffling — stage-profiled
+    // at the 600 k-doc probe, the un-hinted fold shuffled the 3.6 M-row
+    // keys table 3-4x and the records table's packed-token column once
+    // (~290 MB) against batch-bounded sets. A beyond-broadcast batch falls
+    // back to the plain shuffle-join shapes.
+    val smallBatch = newRecords.count() <= 1000000L
+    def bcB(df: DataFrame): DataFrame = if (smallBatch) broadcast(df) else df
     // Re-crawl guard: a batch url already present in prior state would
     // append the same id twice (fanning out every later join and silently
-    // duplicating RecordId rows). Cheap: the new-id side is one batch.
-    val reCrawled = newRecords.select("id")
-      .join(oldRecords.select("id"), Seq("id"), "left_semi").count()
+    // duplicating RecordId rows). The batch side broadcasts; the old-id
+    // side is a column-pruned streamed scan (ids are unique per side, so
+    // counting the intersection from the old side is the same count).
+    val reCrawled = oldRecords.select("id")
+      .join(bcB(newRecords.select("id")), Seq("id"), "left_semi").count()
     require(reCrawled == 0,
       s"$reCrawled record(s) in the batch already exist in prior state " +
         "(re-crawl/update); dedupe the batch or run a compacting re-resolve " +
@@ -517,13 +532,17 @@ object EntityResolution {
         spark.read.parquet(s"$work/keys.parquet")
       } else {
         writeKeysChain(work, keyPaths, tombPaths)
-        // per-fold scratch (the established multi-consumer discipline): the
-        // assembled chain view feeds ~5 consumer scans this fold (keysEff,
-        // both candidate-join sides, both sharedKey sides); an eager
-        // localCheckpoint materializes the union+anti once instead of per
-        // consumer. The DURABLE next-fold state stays the O(batch)
-        // delta+tombstone chain — this is a read-side cache, not a rewrite.
-        keysAll.localCheckpoint(true)
+        // The assembled chain view feeds ~5 consumers (keysEff, both
+        // candidate-join sides, both sharedKey sides). Through round 5 it
+        // was eagerly checkpointed because those consumers SHUFFLED it —
+        // materializing once beat re-shuffling per consumer. Since the
+        // round-6 broadcast-stream restructure every consumer STREAMS the
+        // keys side (the batch-bounded side broadcasts), so each lazy
+        // consumption is one column-pruned chain scan + a broadcast
+        // anti-join — cheaper distributed inside the consumers' own jobs
+        // than the serial 90 MB materialization barrier the checkpoint
+        // cost on the fold's critical path.
+        keysAll
       }
       (keysOut, stats, changedOldIds)
     } else {
@@ -546,16 +565,26 @@ object EntityResolution {
       (keysFull, stats, changed)
     }
     writePool.shutdown()
-    val seedIds = newIds.union(keyChangedIds).distinct()
-    val keysEff = keys.join(seedIds, Seq("id"), "left_semi")
+    // seed ids feed 5+ consumers (keysEff, touched buckets, both SN-seed
+    // sides) — one materialization instead of a union+distinct shuffle per
+    // consumer; every semi-join against a corpus-wide table hints it
+    // broadcast (batch-bounded by construction, gated by smallBatch)
+    val seedIds = newIds.union(keyChangedIds).distinct().localCheckpoint(true)
+    // keysEff (the seed records' key rows) feeds both candidate-join
+    // branches; checkpointed so each branch reads it instead of re-running
+    // the semi-join, and small enough (≈ keys-per-record x batch) to hint
+    // broadcast inside the candidate join, which then STREAMS the full
+    // keys table instead of shuffling it per branch
+    val keysEff = keys.join(bcB(seedIds), Seq("id"), "left_semi")
+      .localCheckpoint(true)
     fc("keyChangedIds", keyChangedIds)
     fc("keys", keys)
     fc("keysEff", keysEff)
 
     val bucketOf = substring(col("sort_key"), 1, cfg.blocking.snBucketLen)
-    val touchedBuckets = records.join(seedIds, Seq("id"), "left_semi")
-      .select(bucketOf.as("b")).distinct()
-    val snRecords = records.join(touchedBuckets, bucketOf === col("b"), "left_semi")
+    val touchedBuckets = records.join(bcB(seedIds), Seq("id"), "left_semi")
+      .select(bucketOf.as("b")).distinct().localCheckpoint(true)
+    val snRecords = records.join(bcB(touchedBuckets), bucketOf === col("b"), "left_semi")
     // SN pairs of the touched buckets feed several consumers — materialize
     // (eager localCheckpoint: per-fold scratch, never next-fold state) so
     // the per-bucket sort + window scan runs once per variant without a
@@ -563,8 +592,8 @@ object EntityResolution {
     val sn = Blocking.sortedNeighborhoodPairs(snRecords, cfg.blocking)
       .localCheckpoint(true)
     ph("sn pairs of touched buckets materialized")
-    val snSeed = sn.join(seedIds.withColumnRenamed("id", "main_id"), Seq("main_id"), "left_semi")
-      .union(sn.join(seedIds.withColumnRenamed("id", "sub_id"), Seq("sub_id"), "left_semi"))
+    val snSeed = sn.join(bcB(seedIds.withColumnRenamed("id", "main_id")), Seq("main_id"), "left_semi")
+      .union(sn.join(bcB(seedIds.withColumnRenamed("id", "sub_id")), Seq("sub_id"), "left_semi"))
     // prior-run SN pairs of the same buckets (old records only, bucket
     // boundaries are content-defined so the restriction is exact)
     val snPrior = Blocking.sortedNeighborhoodPairs(
@@ -577,34 +606,59 @@ object EntityResolution {
     // stale-set phase was 5.0 s of a 31 s fold at 600 k docs)
     val snDropped = snPrior.exceptAll(sn).localCheckpoint(true)
     // a dropped SN pair still generated by a shared (current) block key is
-    // still a full-run candidate — its edge survives
-    val sharedKey = snDropped
+    // still a full-run candidate — its edge survives. smallBatch shape:
+    // inner joins with the (almost always empty/tiny, checkpointed) drift
+    // frames broadcast + a final distinct — set-equal to the semi chain
+    // (SN pairs are unique by construction, so a pair duplicates only via
+    // multiple shared keys, which the distinct collapses) — and BOTH keys
+    // passes stream the checkpointed keys table instead of shuffling its
+    // 3.6 M rows by id against an empty set (stage-profiled r6 finding).
+    val sharedKey = if (smallBatch) {
+      val dropMain = keys.select(col("id").as("main_id"), col("block_key"))
+        .join(broadcast(snDropped), Seq("main_id"))
+      keys.select(col("id").as("sub_id"), col("block_key"))
+        .join(broadcast(dropMain), Seq("sub_id", "block_key"))
+        .select("main_id", "sub_id").distinct()
+    } else snDropped
       .join(keys.select(col("id").as("main_id"), col("block_key")), "main_id")
       .join(keys.select(col("id").as("sub_id"), col("block_key")), Seq("sub_id", "block_key"),
         "left_semi")
       .select("main_id", "sub_id")
-    // staleSnPairs stays LAZY since round 6: its whole lineage above the
-    // materialized snDropped (the sharedKey joins + anti-join) starts from a
-    // tiny checkpointed frame whose real size AQE sees, so each consuming
-    // action replans it as broadcast joins over an (almost always empty)
-    // set — re-deriving it per consumer is cheaper than the driver
-    // write+read barrier its own eager checkpoint cost (the barrier, not
-    // work, dominates the fold's wall at batch scale)
+    // eager: feeds both edge filtering (semi + anti) below; tiny
     val staleSnPairs = snDropped.join(sharedKey, Seq("main_id", "sub_id"), "left_anti")
-    ph("sn-drift stale set derived (lazy)")
+      .localCheckpoint(true)
+    ph("sn-drift stale set materialized")
 
     fc("touchedBuckets", touchedBuckets)
     fc("snRecords", snRecords)
     fc("sn", sn)
     fc("snSeed", snSeed)
     fc("candInvolvingRaw", Blocking.candidatePairsInvolvingRaw(keysEff, keys))
+    // checkpointed: feeds the scoring funnel, the pair-id pruning frame
+    // below, AND Result.candidatePairs (probed/evaluated after the fold) —
+    // batch-bounded rows, one materialization
     val pairs = dedupPairs(
-      Blocking.candidatePairsInvolvingRaw(keysEff, keys).union(snSeed))
+      Blocking.candidatePairsInvolvingRaw(keysEff, keys, broadcastNew = smallBatch)
+        .union(snSeed))
+      .localCheckpoint(true)
     fc("pairs", pairs)
 
     // score only pairs involving a new or key-changed record; all other old
-    // edges are reused verbatim except the stale SN set computed above
-    val scored = scorePairs(pairs, records, cfg)
+    // edges are reused verbatim except the stale SN set computed above.
+    // The funnel's per-record join sides are pruned to ids that actually
+    // appear in a batch-involving pair: unpruned, the exact-stage token
+    // join shuffles the ENTIRE records table's packed token sets (~0.5 KB/
+    // record — 292 MB stage-profiled at the 600 k-doc probe) to score a
+    // batch-bounded pair set. The id set broadcasts (batch-bounded); the
+    // records scan streams through the semi-join, so no shuffle ever
+    // carries a non-participant's tokens. Lossless: scorePairs only ever
+    // reads record rows it joins to a pair.
+    val recordsForScoring = if (smallBatch) {
+      val pairIds = pairs.select(col("main_id").as("id"))
+        .union(pairs.select(col("sub_id").as("id"))).distinct()
+      records.join(broadcast(pairIds), Seq("id"), "left_semi")
+    } else records
+    val scored = scorePairs(pairs, recordsForScoring, cfg)
     // scratch: folded into edges.parquet below (the durable table) and read
     // again by the clustering label frames
     val newEdges = scored.filter(col("score") >= cfg.tau)
@@ -612,11 +666,11 @@ object EntityResolution {
       .localCheckpoint(true)
     ph("new-involving pairs scored")
     val droppedStaleEdges = oldEdges.select("main_id", "sub_id", "score")
-      .join(staleSnPairs, Seq("main_id", "sub_id"), "left_semi")
+      .join(bcB(staleSnPairs), Seq("main_id", "sub_id"), "left_semi")
     val keptEdges = oldEdges.select("main_id", "sub_id", "score")
-      .join(keyChangedIds.withColumnRenamed("id", "main_id"), Seq("main_id"), "left_anti")
-      .join(keyChangedIds.withColumnRenamed("id", "sub_id"), Seq("sub_id"), "left_anti")
-      .join(staleSnPairs, Seq("main_id", "sub_id"), "left_anti")
+      .join(bcB(keyChangedIds.withColumnRenamed("id", "main_id")), Seq("main_id"), "left_anti")
+      .join(bcB(keyChangedIds.withColumnRenamed("id", "sub_id")), Seq("sub_id"), "left_anti")
+      .join(bcB(staleSnPairs), Seq("main_id", "sub_id"), "left_anti")
     val edgePath = s"$work/edges.parquet"
     newEdges.unionByName(keptEdges)
       .write.mode("overwrite").parquet(edgePath)

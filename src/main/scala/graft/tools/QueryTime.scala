@@ -6,9 +6,24 @@ package graft.tools
   * number looks off (usage: QueryTime <sfDir> <reps> <query...>). */
 object QueryTime {
   def main(args: Array[String]): Unit = {
+    // validate BEFORE paying session + corpus warmup (ADVICE r5: an unknown
+    // name used to throw a bare NoSuchElementException after the warmup)
+    if (args.length < 3) {
+      System.err.println("usage: QueryTime <sfDir> <reps> <query...>\n" +
+        s"queries: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val sfDir = args(0)
-    val reps = args(1).toInt
+    val reps = args(1).toIntOption.getOrElse {
+      System.err.println(s"reps must be an int, got '${args(1)}'"); sys.exit(2)
+    }
     val names = args.drop(2).toSeq
+    val unknown = names.filterNot(graft.SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}\n" +
+        s"valid: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = graft.GraftSession.create(32, "graft-qtime")
     graft.testgen.WebCorpus.pagesMaterialized(spark, sfDir)
     for (name <- names) {

@@ -42,6 +42,14 @@ object ScaleRunner {
     // caller order preserved (Bench sends gate-critical levels first, so a
     // wall cap drops the secondary 8/2 rung before the north-rule 4/1 pair)
     val levels = args(0).split(",").map(_.trim.toInt).toSeq
+    // level order is a caller contract (ADVICE r5): the warmup pass rides
+    // the FIRST level, so an ascending manual invocation (e.g. "1,4") warms
+    // at 1 core (slow) and measures the window-exposed large level last —
+    // warn, don't fail (diagnostic runs may want odd orders deliberately)
+    if (levels.length > 1 && levels.zip(levels.tail).exists { case (a, b) => b > a })
+      phase(s"WARNING: levels ${levels.mkString(",")} are not non-increasing — " +
+        "the first level pays the warmup and later levels face older windows; " +
+        "Bench always sends largest-first")
     val corpus = args(1)
     val warmupCorpus = args(2)
     val wallBudget = if (args.length > 3) args(3).toDouble else Double.MaxValue

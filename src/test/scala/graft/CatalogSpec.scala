@@ -78,6 +78,44 @@ class CatalogSpec extends AnyFunSuite {
       back.orderBy(col("o_orderkey").cast("long")).head().getString(0))
   }
 
+  test("truncated export path executes the plan once: count rides the write job") {
+    Catalog.register(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-export-once").toString
+    val text = "SELECT o_orderkey FROM orders"
+    val expected = spark.table("orders").count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // the listener bus is async and not publicly drainable — poll the
+    // counter until it stabilizes (unchanged for 300 ms, max 5 s)
+    def settled(): Int = {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline && jobs.get() != last) {
+        last = jobs.get(); Thread.sleep(300)
+      }
+      jobs.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // baseline: how many jobs does the take(cap+1) probe alone cost on
+      // this plan (LIMIT escalation may use several partial-scan jobs)
+      spark.sql(text).take(QueryService.InlineRowCap + 1)
+      val takeJobs = settled()
+      jobs.set(0)
+      val r = QueryService.execute(spark, text, Some(dir))
+      val execJobs = settled()
+      // probe + ONE export job; a fallback df.count() (a third plan
+      // execution) would exceed the bound — the row count must arrive via
+      // the observation riding the write
+      assert(execJobs <= takeJobs + 1,
+        s"export path ran $execJobs jobs (take-probe baseline $takeJobs + 1 write)")
+      assert(r.truncated && r.csvPath.isDefined && r.totalRows.contains(expected))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("CSV export writes partitioned (one part per partition, no single-task funnel)") {
     Catalog.register(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft-export-par").toString

@@ -296,7 +296,23 @@ object Sim {
       v(i) = if (bits == 64) hashes(i) else hashes(i) >>> (64 - bits)
       i += 1
     }
-    if (bits != 64) java.util.Arrays.sort(v) // unsigned shift reorders signed input
+    if (bits != 64 && n0 > 1) {
+      // The input is ascending SIGNED (negatives first); the unsigned shift
+      // maps the negative block to [2^(bits-1), 2^bits) and the positive
+      // block to [0, 2^(bits-1)) — two ascending runs over DISJOINT ranges,
+      // so the sorted order is exactly [positive-origin block][negative-
+      // origin block]: an O(n) rotation, bit-identical to the former
+      // O(n log n) re-sort (spec-gated by the random-universe packed-
+      // jaccard property in SimSpec).
+      var firstPos = 0
+      while (firstPos < n0 && hashes(firstPos) < 0) firstPos += 1
+      if (firstPos > 0 && firstPos < n0) {
+        val tmp = new Array[Long](firstPos)
+        System.arraycopy(v, 0, tmp, 0, firstPos)              // negative-origin block
+        System.arraycopy(v, firstPos, v, 0, n0 - firstPos)    // positive-origin first
+        System.arraycopy(tmp, 0, v, n0 - firstPos, firstPos)  // then negative-origin
+      }
+    }
     var n = if (n0 == 0) 0 else 1
     i = 1
     while (i < n0) { // truncation can merge neighbors

@@ -416,7 +416,11 @@ object EntityResolution {
     // keys table 3-4x and the records table's packed-token column once
     // (~290 MB) against batch-bounded sets. A beyond-broadcast batch falls
     // back to the plain shuffle-join shapes.
-    val smallBatch = newRecords.count() <= 1000000L
+    // test override (`graft.fold.broadcast.max` system property) exists so
+    // the beyond-broadcast fallback shapes stay spec-exercised — both paths
+    // must stay bit-equal to a full re-resolve
+    val smallBatch = newRecords.count() <=
+      sys.props.get("graft.fold.broadcast.max").map(_.toLong).getOrElse(1000000L)
     def bcB(df: DataFrame): DataFrame = if (smallBatch) broadcast(df) else df
     // Re-crawl guard: a batch url already present in prior state would
     // append the same id twice (fanning out every later join and silently

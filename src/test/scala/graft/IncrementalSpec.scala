@@ -62,6 +62,30 @@ class IncrementalSpec extends AnyFunSuite {
     assert(inc3.integrated.count() == full.integrated.count())
   }
 
+  test("beyond-broadcast fallback path (smallBatch=false) == full re-resolve") {
+    // the fold's broadcast-stream shapes are gated on batch size; force the
+    // gate CLOSED so the plain shuffle-join fallback shapes stay exercised
+    // and bit-equal (graft.fold.broadcast.max test override)
+    val all = graft.testgen.WebCorpus.pages(spark, 500).toDF().cache()
+    val slot = pmod(xxhash64(col("url")), lit(5))
+    val Seq(p1, p2, p3) = (1 to 3).map(i =>
+      Files.createTempDirectory(s"graft-incbb$i").toString)
+    EntityResolution.resolve(all.filter(slot < 4),
+      EntityResolution.Config(workDir = Some(p1))).integrated.count()
+    sys.props("graft.fold.broadcast.max") = "0"
+    try {
+      val inc = EntityResolution.resolveIncremental(all.filter(slot === 4), p1,
+        EntityResolution.Config(workDir = Some(p2)))
+      val full = EntityResolution.resolve(all,
+        EntityResolution.Config(workDir = Some(p3)))
+      val cols = Seq("RecordId", "InputSourceARN", "MatchID", "ConfidenceLevel")
+      val a = inc.integrated.select(cols.map(col): _*)
+      val b = full.integrated.select(cols.map(col): _*)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        "beyond-broadcast fallback fold differs from full re-resolve")
+    } finally sys.props.remove("graft.fold.broadcast.max")
+  }
+
   test("keys-chain compaction: fold at the compaction length == full re-resolve") {
     // compactLen 2 ⇒ the FIRST fold already compacts its chain (base +
     // delta = 2 files); the second fold then reads a compacted one-file

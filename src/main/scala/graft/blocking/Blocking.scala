@@ -159,15 +159,43 @@ object Blocking {
     // family that inflates under concurrency — with a columnar filter-scan
     // of raw_counts plus a small agg (keyspace disjointness per [[rawKeys]];
     // the staged≡lineage spec asserts equality against the direct groupBy).
-    spark.read.parquet(s"$dir/raw_counts.parquet")
+    val sizes2df = spark.read.parquet(s"$dir/raw_counts.parquet")
       .filter(col("n") <= cfg.maxBlock)
       .unionByName(keyed.filter(col("block_key") < 0)
         .groupBy("block_key").agg(count(lit(1)).as("n")))
-      .write.mode("overwrite").parquet(s"$dir/sizes2.parquet")
+    // The still-hot gate only needs the sizes2 CONTENT, not the file: when
+    // idle cores exist (any real cluster; not local[1], where two
+    // concurrent jobs would share one core and the lineage recompute is
+    // pure extra work), the cheap gate job runs WHILE the durable sizes2
+    // write encodes+commits (guide §2.6 — overlap independent jobs); the
+    // write is joined before anything reads the file.
+    val overlap = spark.sparkContext.defaultParallelism >= 4
+    val sizes2Write: Option[java.util.concurrent.Future[_]] = if (overlap) {
+      val pool = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, "graft-sizes2-write"); t.setDaemon(true); t
+      })
+      val f = pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit =
+          sizes2df.write.mode("overwrite").parquet(s"$dir/sizes2.parquet")
+      })
+      pool.shutdown()
+      Some(f)
+    } else {
+      sizes2df.write.mode("overwrite").parquet(s"$dir/sizes2.parquet")
+      None
+    }
+    // overlapped: gate from the (cheap columnar) lineage while the write
+    // runs; serial: the file already exists and reading it is cheaper than
+    // recomputing the union+agg
+    val stillHotIsEmpty =
+      if (overlap) sizes2df.filter(col("n") > cfg.maxBlock * 4L).isEmpty
+      else spark.read.parquet(s"$dir/sizes2.parquet")
+        .filter(col("n") > cfg.maxBlock * 4L).isEmpty
+    sizes2Write.foreach(_.get()) // propagate any write failure
     val stillHot = spark.read.parquet(s"$dir/sizes2.parquet")
       .filter(col("n") > cfg.maxBlock * 4L)
     val keysFile = new java.io.File(s"$dir/keys.parquet")
-    if (stillHot.isEmpty) {
+    if (stillHotIsEmpty) {
       // nothing to drop: keys == keyed_all row-for-row — promote the scratch
       // table with a directory rename instead of rewriting the full stream
       org.apache.commons.io.FileUtils.deleteQuietly(keysFile)

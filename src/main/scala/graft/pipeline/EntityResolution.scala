@@ -602,12 +602,12 @@ object EntityResolution {
     // boundaries are content-defined so the restriction is exact)
     val snPrior = Blocking.sortedNeighborhoodPairs(
       snRecords.join(newIds, Seq("id"), "left_anti"), cfg.blocking)
-    // eager: the exceptAll output has no size stats, so a LAZY snDropped
-    // makes both keys joins below plan as full-table shuffle joins of the
-    // corpus-wide key stream against what is almost always an empty/tiny
-    // set; materialized, AQE sees the real size and broadcasts snDropped,
-    // turning the keys sides into shuffle-free scans (phase-profiled: the
-    // stale-set phase was 5.0 s of a 31 s fold at 600 k docs)
+    // eager: the drift set feeds the sharedKey joins below (both branches)
+    // plus the staleSnPairs anti-join, and as a materialized frame its
+    // (almost always empty/tiny) content is what the explicit broadcast
+    // hints below ship — lazy, every consumer would re-run the two SN
+    // window sorts behind the exceptAll (phase-profiled r5: the stale-set
+    // phase was 5.0 s of a 31 s fold at 600 k docs before materialization)
     val snDropped = snPrior.exceptAll(sn).localCheckpoint(true)
     // a dropped SN pair still generated by a shared (current) block key is
     // still a full-run candidate — its edge survives. smallBatch shape:
